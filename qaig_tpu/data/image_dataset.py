@@ -1,0 +1,40 @@
+"""Image dataset over a TinyDB-format manifest.
+
+Pixel-semantics parity with reference ``dataset_loader/image_dataset.py:
+11-49``: images are read with OpenCV (**BGR** channel order), scaled to
+[-1, 1] via ``(x - 127.5) / 127.5`` and returned NCHW float32.  Keeping BGR
+end-to-end means generated images match the reference's color math; the grid
+writer flips to RGB at save time exactly like the reference does.
+"""
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the target image
+    cv2 = None
+
+from qaig_tpu.data.manifest import Manifest
+
+
+class ImageDataset:
+    def __init__(self, dataset_path, return_filepaths=False):
+        self.return_filepaths = return_filepaths
+        self.manifest = Manifest(dataset_path)
+        if len(self.manifest) == 0:
+            raise ValueError("No data found.")
+
+    def __len__(self):
+        return len(self.manifest)
+
+    def __getitem__(self, index):
+        row = self.manifest[index]
+        path = row["image_fpath"]
+        image = cv2.imread(path)  # (H, W, C) BGR uint8
+        if image is None:
+            raise IOError(f"Failed to read image: {path}")
+        image = (image.astype(np.float32) - 127.5) / 127.5
+        image = np.ascontiguousarray(image.transpose(2, 0, 1))  # CHW
+        if self.return_filepaths:
+            return image, path
+        return image

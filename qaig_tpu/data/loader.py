@@ -1,0 +1,76 @@
+"""Batching data loader with background prefetch.
+
+TPU-native replacement for the reference's
+``torch.utils.data.DataLoader(num_workers=4, shuffle=True)`` usage
+(``train_autoencoder.py:156-160`` etc.): a thread-pool prefetcher that keeps
+a small queue of ready host batches so the accelerator never waits on cv2 /
+.npy decode.  Batches are stacked numpy arrays (NCHW), converted to device
+arrays by the jitted train step; drop_remainder defaults to True so every
+step sees a static shape (no XLA recompilation).
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+
+def _stack(samples):
+    if isinstance(samples[0], (tuple, list)):
+        cols = list(zip(*samples))
+        return tuple(
+            np.stack(c) if isinstance(c[0], np.ndarray) else list(c)
+            for c in cols)
+    return np.stack(samples)
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0,
+                 drop_remainder=True, prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        limit = (len(order) // self.batch_size * self.batch_size
+                 if self.drop_remainder else len(order))
+        for start in range(0, limit, self.batch_size):
+            yield order[start:start + self.batch_size]
+
+    def __iter__(self):
+        """Background-thread prefetching iterator."""
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error = []
+
+        def worker():
+            try:
+                for idx_batch in self._batch_indices():
+                    samples = [self.dataset[int(i)] for i in idx_batch]
+                    q.put(_stack(samples))
+            except BaseException as e:  # surfaced on the consumer side
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item

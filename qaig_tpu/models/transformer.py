@@ -1,0 +1,161 @@
+"""Encoder-decoder / decoder-only transformer over codebook tokens.
+
+Capability parity with reference ``models/Transformer.py:16-202``:
+
+* optional vanilla encoder (unmasked blocks, no cross-attn, no AdaLN) over
+  coarse-token embeddings,
+* DiT-style decoder: masked blocks, cross-attn iff an encoder exists,
+  AdaLN-Zero + DiT gating iff position conditioning is on,
+* sinusoidal sequence positions start at **1**,
+* the position-conditioning vector is a 2-layer MLP over sinusoidal
+  embeddings of *absolute patch positions* (sliding-window support),
+* classifier head is a 2-layer MLP whose first layer is always silu
+  (reference ``Transformer.py:94-102`` uses ``LinearLayer``'s default).
+
+TPU-native design: the full forward is one jittable function with optional
+``jax.checkpoint`` rematerialisation per block (the activation-checkpoint
+equivalent of ``Transformer.py:142-146, 180-198``); autoregressive decode
+goes through ``qaig_tpu.infer.decode`` (KV-cached ``lax.scan``), not this
+teacher-forcing path.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from qaig_tpu.models import blocks, core
+from qaig_tpu.ops.activations import get_activation
+from qaig_tpu.ops.posemb import sinusoidal_pos_emb
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    use_encoder: bool = True
+    use_pos_cond: bool = True
+    num_enc_layers: int = 5
+    num_dec_layers: int = 10
+    num_enc_embedding: int = 512
+    num_dec_embedding: int = 512
+    self_attn_heads: int = 8
+    cross_attn_heads: int = 8
+    in_dim: int = 512
+    out_dim: int = 512
+    hidden_dim: int = 4096
+    hidden_activation: str = "silu"
+    use_remat: bool = False
+
+    def encoder_block_config(self):
+        return blocks.BlockConfig(
+            in_dim=self.in_dim,
+            hidden_dim=self.hidden_dim,
+            self_attn_heads=self.self_attn_heads,
+            use_cross_attn=False,
+            use_masked_attn=False,
+            use_adaln0=False,
+            use_scale_layer=False,
+            activation_type=self.hidden_activation)
+
+    def decoder_block_config(self):
+        return blocks.BlockConfig(
+            in_dim=self.in_dim,
+            cond_dim=self.in_dim,
+            cross_cond_dim=self.in_dim,
+            hidden_dim=self.hidden_dim,
+            self_attn_heads=self.self_attn_heads,
+            cross_attn_heads=self.cross_attn_heads or 8,
+            use_cross_attn=self.use_encoder,
+            use_masked_attn=True,
+            use_adaln0=self.use_pos_cond,
+            use_scale_layer=self.use_pos_cond,
+            activation_type=self.hidden_activation)
+
+
+class Transformer:
+    def __init__(self, cfg: TransformerConfig):
+        self.cfg = cfg
+        self.enc_block_cfg = cfg.encoder_block_config()
+        self.dec_block_cfg = cfg.decoder_block_config()
+
+    # -- init ---------------------------------------------------------------
+
+    def init(self, rng):
+        cfg = self.cfg
+        keys = jax.random.split(rng, 6)
+        params = {}
+        if cfg.use_encoder:
+            params["enc_embedding"] = core.init_embedding(
+                keys[0], cfg.num_enc_embedding, cfg.in_dim)
+            enc_keys = jax.random.split(keys[1], cfg.num_enc_layers)
+            params["encoder_layers"] = [
+                blocks.init_transformer_block(k, self.enc_block_cfg)
+                for k in enc_keys]
+        params["dec_embedding"] = core.init_embedding(
+            keys[2], cfg.num_dec_embedding, cfg.in_dim)
+        dec_keys = jax.random.split(keys[3], cfg.num_dec_layers)
+        params["decoder_layers"] = [
+            blocks.init_transformer_block(k, self.dec_block_cfg)
+            for k in dec_keys]
+        if cfg.use_pos_cond:
+            params["pos_cond_layer"] = core.init_mlp2(
+                keys[4], cfg.in_dim, cfg.hidden_dim, cfg.in_dim)
+        params["classifier"] = core.init_mlp2(
+            keys[5], cfg.in_dim, cfg.hidden_dim, cfg.out_dim)
+        return params
+
+    # -- helpers ------------------------------------------------------------
+
+    def encode(self, params, x_enc):
+        """Coarse-token encoder half; returns (N, enc_Seq, D)."""
+        cfg = self.cfg
+        h = core.embedding_lookup(params["enc_embedding"], x_enc)
+        seq = h.shape[1]
+        pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, seq + 1))
+        h = h + pos[None]
+        block = lambda p, x: blocks.transformer_block(p, self.enc_block_cfg, x)
+        if cfg.use_remat:
+            block = jax.checkpoint(block)
+        for layer_params in params["encoder_layers"]:
+            h = block(layer_params, h)
+        return h
+
+    def pos_cond_embedding(self, params, pos_cond):
+        """(N, Seq) absolute patch positions -> (N, Seq, D) conditioning."""
+        cfg = self.cfg
+        act = get_activation(cfg.hidden_activation)
+        emb = sinusoidal_pos_emb(cfg.in_dim, pos_cond)
+        return core.mlp2(params["pos_cond_layer"], emb, act)
+
+    def classify(self, params, h):
+        return core.mlp2(params["classifier"], h, get_activation("silu"))
+
+    # -- full teacher-forcing forward --------------------------------------
+
+    def apply(self, params, x_dec, x_enc=None, pos_cond=None):
+        """Token ids -> logits (N, Seq, out_dim)."""
+        cfg = self.cfg
+
+        enc_out = None
+        if cfg.use_encoder:
+            enc_out = self.encode(params, x_enc)
+
+        h = core.embedding_lookup(params["dec_embedding"], x_dec)
+        seq = h.shape[1]
+        pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, seq + 1))
+        h = h + pos[None]
+
+        pos_cond_emb = None
+        if cfg.use_pos_cond:
+            pos_cond_emb = self.pos_cond_embedding(params, pos_cond)
+
+        def block(p, x, cross, cond):
+            return blocks.transformer_block(
+                p, self.dec_block_cfg, x, cross_cond=cross, pos_cond=cond)
+
+        if cfg.use_remat:
+            block = jax.checkpoint(block)
+        for layer_params in params["decoder_layers"]:
+            h = block(layer_params, h, enc_out, pos_cond_emb)
+
+        return self.classify(params, h)

@@ -1,0 +1,84 @@
+"""Multi-head attention core (XLA einsum path).
+
+Math parity with the reference attention (``models/layers.py:370-474``):
+
+* Q/K/V come from 2-layer MLPs (handled by the caller) — this module only
+  performs the scaled-dot-product over already-projected (N, S, D) tensors,
+* heads are a reshape-split of D, scale is ``1/sqrt(D/heads)``,
+* causal masking sets future positions to -inf before the softmax (the
+  reference builds this via a 2e9 sentinel then replaces with -inf — the
+  fixed point is identical),
+* there is **no output projection** after merging heads.
+
+A Pallas flash-attention kernel (``qaig_tpu.ops.flash_attention``) is used on
+TPU for long sequences; this einsum path is the reference semantics and the
+fallback for small shapes / CPU tests.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def split_heads(x, heads):
+    """(N, S, D) -> (N, H, S, D/H)."""
+    n, s, d = x.shape
+    return x.reshape(n, s, heads, d // heads).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    """(N, H, S, Dh) -> (N, S, H*Dh)."""
+    n, h, s, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(n, s, h * dh)
+
+
+def dot_product_attention(q, k, v, heads, causal=False, kv_mask=None,
+                          q_offset=None):
+    """Scaled dot-product attention over projected tensors.
+
+    Args:
+      q, k, v: (N, Sq, D) / (N, Sk, D) / (N, Sk, D).
+      heads: number of heads (D must divide).
+      causal: apply a causal mask.  When ``q_offset`` is given, query ``i``
+        is treated as absolute position ``q_offset + i`` (decode-step mode).
+      kv_mask: optional (N, Sk) boolean; False keys are masked out (ring
+        buffers / padded prefixes).
+      q_offset: optional scalar (traced ok) absolute position of q[0].
+
+    Returns (N, Sq, D).
+    """
+    n, sq, d = q.shape
+    sk = k.shape[1]
+    dh = d // heads
+    scale = 1.0 / math.sqrt(dh)
+
+    qh = split_heads(q, heads)
+    kh = split_heads(k, heads)
+    vh = split_heads(v, heads)
+
+    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+
+    mask = None
+    if causal:
+        q_pos = jnp.arange(sq)
+        if q_offset is not None:
+            q_pos = q_pos + q_offset
+        k_pos = jnp.arange(sk)
+        mask = k_pos[None, :] <= q_pos[:, None]  # (Sq, Sk) True = keep
+        mask = mask[None, None]
+    if kv_mask is not None:
+        km = kv_mask[:, None, None, :]  # (N, 1, 1, Sk)
+        mask = km if mask is None else jnp.logical_and(mask, km)
+
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("nhqk,nhkd->nhqd", weights, vh,
+                     preferred_element_type=jnp.float32)
+    return merge_heads(out).astype(q.dtype)

@@ -1,0 +1,148 @@
+"""Checkpoint persistence + tolerant restore.
+
+Contract parity with reference ``utils/model_utils.py:6-52``: checkpoints are
+a plain dict {hyperparams..., "model": state, "model_optimizer": opt state}
+written under ``<out>/models_checkpoint/<name>``; ``load_model`` returns
+``(status, dict)``.  Differences, by design:
+
+* arrays are stored as numpy inside a pickle (no torch dependency); writes
+  are atomic (tmp + rename) — the reference's torch.save could leave a
+  truncated file on crash,
+* ``load_model`` transparently reads **reference torch checkpoints** too
+  (``.pt`` zip archives) when torch is importable, converting tensors to
+  numpy — this is how pretrained reference weights enter the framework,
+* tolerant restore (the reference's five ``custom_load_state_dict`` copies,
+  e.g. ``models/Autoencoder.py:45-61``) is one generic function over flat
+  '.'-joined key paths with optional key-rewrite rules.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# (de)serialization
+# ---------------------------------------------------------------------------
+
+def _to_numpy(obj):
+    if isinstance(obj, dict):
+        return {k: _to_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        converted = [_to_numpy(v) for v in obj]
+        return type(obj)(converted) if isinstance(obj, tuple) else converted
+    if isinstance(obj, jnp.ndarray):
+        return np.asarray(obj)
+    return obj
+
+
+def save_model(model_dict, dest_path, file_name, logging=print):
+    """Atomically pickle ``model_dict`` to <dest>/models_checkpoint/<name>."""
+    try:
+        folder = os.path.join(str(dest_path), "models_checkpoint")
+        os.makedirs(folder, exist_ok=True)
+        path = os.path.join(folder, file_name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(_to_numpy(model_dict), f, protocol=4)
+        os.replace(tmp, path)
+        return True
+    except Exception as e:  # mirror the reference's boolean contract
+        logging(f"Exception occured while saving model: {e}.")
+        return False
+
+
+def _torch_to_numpy(obj):
+    import torch
+    if isinstance(obj, dict):
+        return {k: _torch_to_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        converted = [_torch_to_numpy(v) for v in obj]
+        return type(obj)(converted) if isinstance(obj, tuple) else converted
+    if isinstance(obj, torch.Tensor):
+        return obj.detach().cpu().numpy()
+    return obj
+
+
+def load_model(checkpoint_path, logging=print):
+    """Load a checkpoint; returns (status, dict).  Understands both the
+    native pickle format and reference torch ``.pt`` files."""
+    checkpoint_path = str(checkpoint_path)
+    if not os.path.exists(checkpoint_path):
+        logging("Checkpoint does not exist.")
+        return False, None
+    try:
+        with open(checkpoint_path, "rb") as f:
+            head = f.read(4)
+        if head[:2] == b"PK":  # torch zip archive
+            import torch
+            state = torch.load(checkpoint_path, map_location="cpu",
+                               weights_only=False)
+            return True, _torch_to_numpy(state)
+        with open(checkpoint_path, "rb") as f:
+            return True, pickle.load(f)
+    except Exception as e:
+        logging(f"Failed to load checkpoint {checkpoint_path}: {e}")
+        return False, None
+
+
+# ---------------------------------------------------------------------------
+# flat-key pytree views
+# ---------------------------------------------------------------------------
+
+def flatten_tree(tree, prefix=""):
+    """Nested dict/list pytree -> {dotted.path: leaf}."""
+    flat = {}
+    if isinstance(tree, dict):
+        items = tree.items()
+    elif isinstance(tree, (list, tuple)):
+        items = ((str(i), v) for i, v in enumerate(tree))
+    else:
+        return {prefix: tree}
+    for key, value in items:
+        path = f"{prefix}.{key}" if prefix else str(key)
+        flat.update(flatten_tree(value, path))
+    return flat
+
+
+def tolerant_restore(target_tree, source_flat, key_map=None, logging=print,
+                     ignore_msgs=False):
+    """Copy leaves from ``source_flat`` (dotted-path dict) into a copy of
+    ``target_tree`` wherever the path exists and shapes match; skip (and
+    optionally report) everything else.  ``key_map`` is a callable applied to
+    each source key first (the reference's prefix-rewrite hacks)."""
+    target_flat = flatten_tree(target_tree)
+    restored = dict(target_flat)
+    for name, value in source_flat.items():
+        if key_map is not None:
+            name = key_map(name)
+            if name is None:
+                continue
+        if name not in target_flat:
+            if not ignore_msgs:
+                logging(f"No Layer found: {name}, skipping")
+            continue
+        current = target_flat[name]
+        if hasattr(current, "shape") and hasattr(value, "shape") \
+                and tuple(current.shape) != tuple(value.shape):
+            if not ignore_msgs:
+                logging(f"Skipped: {name}")
+            continue
+        restored[name] = jnp.asarray(value)
+    return unflatten_tree(restored, like=target_tree)
+
+
+def unflatten_tree(flat, like):
+    """Rebuild a pytree with the structure of ``like`` from dotted paths."""
+    def build(node, prefix):
+        if isinstance(node, dict):
+            return {k: build(v, f"{prefix}.{k}" if prefix else str(k))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            rebuilt = [build(v, f"{prefix}.{i}" if prefix else str(i))
+                       for i, v in enumerate(node)]
+            return rebuilt if isinstance(node, list) else tuple(rebuilt)
+        return flat[prefix]
+    return build(like, "")

@@ -1,0 +1,29 @@
+"""Test harness configuration.
+
+All tests run on CPU with 8 virtual XLA devices so that multi-chip sharding
+(pjit over a Mesh) is exercised without TPU hardware.  This must happen
+before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon sitecustomize force-updates jax_platforms to "axon,cpu" in every
+# process; pin it back to cpu for the test suite (must happen before any
+# backend is initialized).
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
