@@ -1,0 +1,25 @@
+#!/usr/bin/env python
+"""Generate images through the transformer cascade (CLI parity with the
+reference ``generate_images.py``)."""
+
+import argparse
+import pathlib
+
+from qaig_tpu.infer import generate
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Generate Images.")
+    parser.add_argument("--device", choices=["auto", "cpu", "tpu", "cuda"],
+                        type=str, default="auto")
+    parser.add_argument("--decoder-path", required=True, type=pathlib.Path)
+    parser.add_argument("--num-images", type=int, default=25)
+    parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--config-path", required=True, type=pathlib.Path)
+    parser.add_argument("--out-dir", required=True, type=pathlib.Path)
+    args = vars(parser.parse_args())
+    generate.run(args)
+
+
+if __name__ == "__main__":
+    main()

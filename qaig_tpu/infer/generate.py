@@ -1,0 +1,152 @@
+"""Cascade image generation pipeline.
+
+Parity with reference ``generate_images.py:19-374``: for each stage
+"0","1","2"... of the config, load its transformer + codebooks, generate the
+token sequence with rollout best-of-``num_beam`` sampling, decode the final
+tokens through the HR codebook + FC decoder, and save an image grid.  Stage
+"0" is the base model conditioned on random LR indices; each later stage is
+conditioned on the previous stage's full token sequence through its encoder.
+
+TPU-native: rollouts run as one batched KV-cached (or windowed) decode — the
+reference runs ``num_beam`` sequential full-window recomputes per token
+(``generate_images.py:262-322``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+from qaig_tpu.models.transformer import Transformer, TransformerConfig
+from qaig_tpu.train import common
+from qaig_tpu.utils import load_model, save_images
+
+
+def transformer_from_checkpoint(ckpt, logging=print):
+    """Rebuild a Transformer purely from its (self-describing) checkpoint
+    dict (``generate_images.py:171-204``)."""
+    train_base_model = ckpt["train_base_model"]
+    cfg = TransformerConfig(
+        use_encoder=not train_base_model,
+        use_pos_cond=ckpt["use_sliding_window"],
+        num_enc_layers=ckpt["num_enc_layers"] or 0,
+        num_dec_layers=ckpt["num_dec_layers"],
+        num_enc_embedding=ckpt["num_enc_embedding"] or 1,
+        num_dec_embedding=ckpt["num_dec_embedding"],
+        self_attn_heads=ckpt["self_attn_heads"],
+        cross_attn_heads=ckpt["cross_attn_heads"] or 0,
+        in_dim=ckpt["transformer_in_dim"],
+        out_dim=ckpt["transformer_out_dim"],
+        hidden_dim=ckpt["transformer_hidden_dim"],
+        hidden_activation=ckpt["hidden_activation"])
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params = common.restore_model_state(model, params, ckpt["model"],
+                                        logging=logging)
+    return model, params, ckpt
+
+
+def generate_stage_tokens(model, params, stage_cfg, num_images, rng,
+                          is_base_stage, lr_num_embeddings,
+                          hr_num_embeddings, total_seq, sliding_window,
+                          lr_input=None, init_tokens=None):
+    """Run one cascade stage; returns HR-vocabulary tokens (N, total_seq)."""
+    engine = DecodeEngine(model)
+
+    if is_base_stage:
+        shift = lr_num_embeddings
+        x_enc = None
+    else:
+        shift = 0
+        x_enc = lr_input
+
+    settings = SamplerSettings(
+        temperature=stage_cfg["temperature"],
+        end_token=hr_num_embeddings,
+        end_mode="mask",
+        index_shift=shift)
+
+    tokens = engine.rollout_generate(
+        params, init_tokens, total_seq, rng, settings,
+        num_beam=stage_cfg["num_beam"], beam_width=stage_cfg["beam_width"],
+        x_enc=x_enc, sliding_window=sliding_window)
+    return tokens - shift
+
+
+def run(args):
+    common.select_platform(args.get("device"))
+    out_dir = common.ensure_dir(args["out_dir"])
+    num_images = args.get("num_images", 25)
+    rng = jax.random.PRNGKey(args.get("seed") or 0)
+
+    config_dict = common.load_config(args["config_path"])
+
+    status, dec_ckpt = load_model(args["decoder_path"])
+    if not status:
+        raise RuntimeError(
+            "An error occured while loading decoder model checkpoint!")
+    decoder, dec_params, _ = common.decoder_from_checkpoint(dec_ckpt)
+    decode_image = jax.jit(decoder.apply)
+
+    prev_tokens = None
+    for index, stage_cfg in config_dict.items():
+        print(f"Model: {int(index):,}")
+
+        lr_codebook = None
+        lr_params = None
+        lr_num_embeddings = 0
+        if stage_cfg.get("lr_codebook_path") is not None:
+            status, lr_ckpt = load_model(stage_cfg["lr_codebook_path"])
+            if not status:
+                raise RuntimeError(
+                    "An error occured while loading codebook checkpoint!")
+            lr_codebook, lr_params = common.codebook_from_checkpoint(lr_ckpt)
+            lr_num_embeddings = lr_codebook.num_embeddings
+
+        status, hr_ckpt = load_model(stage_cfg["hr_codebook_path"])
+        if not status:
+            raise RuntimeError(
+                "An error occured while loading codebook checkpoint!")
+        hr_codebook, hr_params = common.codebook_from_checkpoint(hr_ckpt)
+        hr_num_embeddings = hr_codebook.num_embeddings
+        total_seq = hr_codebook.seq_len
+
+        if total_seq % stage_cfg["beam_width"] != 0:
+            raise ValueError("Invalid value for beam_width!")
+
+        status, model_ckpt = load_model(stage_cfg["model_path"])
+        if not status:
+            raise RuntimeError(
+                "An error occured while loading model checkpoint!")
+        model, params, model_ckpt = transformer_from_checkpoint(model_ckpt)
+        sliding_window = (model_ckpt["sliding_window"]
+                          if model_ckpt["use_sliding_window"] else None)
+
+        is_base_stage = index == "0"
+        if is_base_stage:
+            rng, init_rng = jax.random.split(rng)
+            init_tokens = jax.random.randint(
+                init_rng, (num_images, 1), 0, lr_num_embeddings)
+            lr_input = None
+            # save the conditioning reconstruction, like the reference
+            lr_quant = lr_codebook.get_quantized_image(lr_params, init_tokens)
+            save_images(np.asarray(decode_image(dec_params, lr_quant)),
+                        "recon_model_Cond", out_dir, logging=print)
+        else:
+            lr_input = prev_tokens
+            init_tokens = jnp.full((num_images, 1), hr_num_embeddings,
+                                   jnp.int32)
+
+        rng, gen_rng = jax.random.split(rng)
+        tokens = generate_stage_tokens(
+            model, params, stage_cfg, num_images, gen_rng, is_base_stage,
+            lr_num_embeddings, hr_num_embeddings, total_seq, sliding_window,
+            lr_input=lr_input, init_tokens=init_tokens)
+
+        hr_quant = hr_codebook.get_quantized_image(hr_params, tokens)
+        recon = decode_image(dec_params, hr_quant)
+        save_images(np.asarray(recon), f"recon_model_{index}", out_dir,
+                    logging=print)
+
+        prev_tokens = tokens
+    return prev_tokens

@@ -264,3 +264,30 @@ def transformer_block_step(params, cfg: BlockConfig, x, cache, index,
                              cond=pos_cond, precomputed_kv=cross_kv)
     x = ffn_block(params["ffn"], cfg, x, cond=pos_cond)
     return x, self_cache
+
+
+def self_attn_block_prefill(params, cfg: BlockConfig, x, cond, cache):
+    """Causal self-attention over a full prefix (N, P, D), writing the
+    prefix K/V into the cache (positions [0, P))."""
+    p = x.shape[1]
+    x0 = x
+    x = block_norm(params["norm"], cfg, x, cond)
+    q = project_q(params["attn"], x, cfg.act)
+    k, v = project_kv(params["attn"], x, cfg.act)
+    k_cache = cache["k"].at[:, :p].set(k)
+    v_cache = cache["v"].at[:, :p].set(v)
+    out = dot_product_attention(q, k, v, cfg.self_attn_heads, causal=True)
+    out = residual(params["res"], out, x0, cond, cfg.act)
+    return out, {"k": k_cache, "v": v_cache}
+
+
+def transformer_block_prefill(params, cfg: BlockConfig, x, cache,
+                              cross_kv=None, pos_cond=None):
+    """Full-prefix pass through a block, filling the self-attn KV cache."""
+    x, self_cache = self_attn_block_prefill(
+        params["self_attn"], cfg, x, pos_cond, cache)
+    if cfg.use_cross_attn:
+        x = cross_attn_block(params["cross_attn"], cfg, x, None,
+                             cond=pos_cond, precomputed_kv=cross_kv)
+    x = ffn_block(params["ffn"], cfg, x, cond=pos_cond)
+    return x, self_cache

@@ -159,3 +159,92 @@ class Transformer:
             h = block(layer_params, h, enc_out, pos_cond_emb)
 
         return self.classify(params, h)
+
+    # -- decode-engine primitives (KV-cached path) --------------------------
+
+    def init_cache(self, batch, max_len, dtype=jnp.float32):
+        """Per-decoder-layer self-attention KV caches."""
+        shape = (batch, max_len, self.cfg.in_dim)
+        return [
+            {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(self.cfg.num_dec_layers)]
+
+    def make_cross_kv(self, params, enc_out):
+        """Precompute encoder-side K/V for every decoder layer once per
+        sequence (the reference recomputes them every generated token)."""
+        if not self.cfg.use_encoder:
+            return [None] * self.cfg.num_dec_layers
+        return [
+            blocks.cross_attn_kv(p["cross_attn"], enc_out,
+                                 self.dec_block_cfg.act)
+            for p in params["decoder_layers"]]
+
+    def prefill(self, params, tokens, caches, cross_kv=None):
+        """Run the prefix (N, P) through the decoder, filling KV caches.
+
+        Valid only when ``use_pos_cond`` is False (stable absolute
+        positions).  Returns (last-position logits (N, out_dim), caches).
+        """
+        cfg = self.cfg
+        h = core.embedding_lookup(params["dec_embedding"], tokens)
+        p = h.shape[1]
+        pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, p + 1))
+        h = h + pos[None]
+
+        new_caches = []
+        for layer_params, cache, ckv in zip(
+                params["decoder_layers"], caches,
+                cross_kv or [None] * cfg.num_dec_layers):
+            h, cache = blocks.transformer_block_prefill(
+                layer_params, self.dec_block_cfg, h, cache, cross_kv=ckv)
+            new_caches.append(cache)
+        return self.classify(params, h[:, -1:])[:, 0], new_caches
+
+    def decode_step(self, params, token, caches, index, cross_kv=None):
+        """One-token decode: ``token`` (N,) at absolute position ``index``
+        (0-based; scalar, traced ok).  Returns (logits (N, out_dim),
+        caches)."""
+        cfg = self.cfg
+        h = core.embedding_lookup(params["dec_embedding"], token[:, None])
+        pos = sinusoidal_pos_emb(
+            cfg.in_dim, jnp.asarray(index + 1, jnp.float32)[None])
+        h = h + pos[None]
+
+        new_caches = []
+        for layer_params, cache, ckv in zip(
+                params["decoder_layers"], caches,
+                cross_kv or [None] * cfg.num_dec_layers):
+            h, cache = blocks.transformer_block_step(
+                layer_params, self.dec_block_cfg, h, cache, index,
+                cross_kv=ckv)
+            new_caches.append(cache)
+        return self.classify(params, h)[:, 0], new_caches
+
+    def window_forward(self, params, tokens, pos_cond=None, cross_kv=None):
+        """Full decoder forward over a fixed window with *precomputed* cross
+        K/V — the sliding-window decode path (window-relative positions make
+        KV caching across slides invalid, so the window is recomputed, but
+        encoder K/V never is).  Returns all-position logits."""
+        cfg = self.cfg
+        h = core.embedding_lookup(params["dec_embedding"], tokens)
+        seq = h.shape[1]
+        pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, seq + 1))
+        h = h + pos[None]
+
+        pos_cond_emb = None
+        if cfg.use_pos_cond:
+            pos_cond_emb = self.pos_cond_embedding(params, pos_cond)
+
+        for layer_params, ckv in zip(
+                params["decoder_layers"],
+                cross_kv or [None] * cfg.num_dec_layers):
+            h = blocks.self_attn_block(
+                layer_params["self_attn"], self.dec_block_cfg, h,
+                cond=pos_cond_emb)
+            if cfg.use_encoder:
+                h = blocks.cross_attn_block(
+                    layer_params["cross_attn"], self.dec_block_cfg, h, None,
+                    cond=pos_cond_emb, precomputed_kv=ckv)
+            h = blocks.ffn_block(layer_params["ffn"], self.dec_block_cfg, h,
+                                 cond=pos_cond_emb)
+        return self.classify(params, h)

@@ -1,0 +1,44 @@
+"""Device mesh construction.
+
+The reference is single-device (its ``--device`` flag allows only cpu/cuda,
+``train_autoencoder.py:30-34``); this framework scales through a 2-D
+``jax.sharding.Mesh`` with axes ``('data', 'model')``: batch sharded over
+``data`` (gradient psum over ICI inserted by XLA), transformer hidden dims
+optionally sharded over ``model`` (Megatron-style TP).  A 1x1 mesh reduces
+to the single-chip case, so every code path is mesh-aware.
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(n_data=None, n_model=1, devices=None):
+    """Build a ('data', 'model') mesh.  Defaults to all devices on the data
+    axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    use = n_data * n_model
+    if use > n:
+        raise ValueError(
+            f"Mesh {n_data}x{n_model} needs {use} devices, have {n}.")
+    arr = np.asarray(devices[:use]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def make_mesh_for_batch(batch_size, n_model=1, devices=None):
+    """Mesh whose data axis is the largest divisor of ``batch_size`` that
+    fits the available devices — keeps small smoke-test batches valid on
+    many-device hosts while using every chip when shapes allow."""
+    if devices is None:
+        devices = jax.devices()
+    cap = max(len(devices) // n_model, 1)
+    n_data = 1
+    for d in range(1, cap + 1):
+        if batch_size % d == 0:
+            n_data = d
+    return make_mesh(n_data=n_data, n_model=n_model, devices=devices)

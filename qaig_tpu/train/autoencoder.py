@@ -1,0 +1,186 @@
+"""Autoencoder training stage.
+
+Behavioral parity with reference ``train_autoencoder.py:23-283``: Adam(0.5,
+0.999) MSE reconstruction training, LR halving every ``lr_step`` updates,
+checkpoint + ground-truth/reconstruction image grids every
+``checkpoint_step``, NaN guard, identical checkpoint dict schema and log
+format.  TPU-native: the whole update (forward, loss, backward, Adam) is one
+jitted function; batches stream through the prefetching loader and are
+sharded over the mesh's data axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from qaig_tpu.data import ImageDataset, DataLoader
+from qaig_tpu.models.conv_nets import Autoencoder, AutoencoderConfig
+from qaig_tpu.parallel import batch_sharding, shard_tree
+from qaig_tpu.parallel.mesh import make_mesh_for_batch
+from qaig_tpu.train import common, optim
+from qaig_tpu.utils import save_model, load_model, save_images
+from qaig_tpu.utils.logging_utils import setup_logging
+
+PROJECT_NAME = "Autoencoder"
+
+
+def build_autoencoder(config_dict):
+    """Config parsing parity with ``train_autoencoder.py:108-130`` (incl.
+    the fallback activation defaults)."""
+    use_final_enc = config_dict["use_final_enc_activation"]
+    use_final_dec = config_dict["use_final_dec_activation"]
+    cfg = AutoencoderConfig(
+        num_layers=config_dict["num_layers"],
+        image_channel=config_dict["image_channel"],
+        min_channel=config_dict["min_channel"],
+        max_channel=config_dict["max_channel"],
+        latent_channel=config_dict["latent_channel"],
+        hidden_activation_type=config_dict["hidden_activation_type"],
+        use_final_enc_activation=use_final_enc,
+        encoder_activation_type=(
+            config_dict["encoder_activation_type"] if use_final_enc
+            else "silu"),
+        use_final_dec_activation=use_final_dec,
+        decoder_activation_type=(
+            config_dict["decoder_activation_type"] if use_final_dec
+            else "tanh"))
+    return Autoencoder(cfg), cfg
+
+
+def make_train_step(model, optimizer):
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            recon = model.apply(p, batch)
+            return jnp.mean((recon - batch) ** 2)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def checkpoint_dict(cfg, params, opt_state):
+    return {
+        "num_layers": cfg.num_layers,
+        "image_channel": cfg.image_channel,
+        "min_channel": cfg.min_channel,
+        "max_channel": cfg.max_channel,
+        "latent_channel": cfg.latent_channel,
+        "hidden_activation_type": cfg.hidden_activation_type,
+        "use_final_enc_activation": cfg.use_final_enc_activation,
+        "encoder_activation_type": cfg.encoder_activation_type,
+        "use_final_dec_activation": cfg.use_final_dec_activation,
+        "decoder_activation_type": cfg.decoder_activation_type,
+        "model": common.model_state_dict(params),
+        "model_optimizer": opt_state,
+    }
+
+
+def run(args):
+    """``args`` mirrors the reference CLI flags (dict)."""
+    common.select_platform(args.get("device"))
+    out_dir = common.ensure_dir(args["out_dir"])
+    log = setup_logging(out_dir, PROJECT_NAME)
+
+    config_dict = common.load_config(args["config_path"])
+    model_lr = config_dict["model_lr"]
+    lr_update_step = args.get("lr_step", 50_000)
+    checkpoint_step = args.get("checkpoint_step", 1_000)
+    batch_size = args.get("batch_size", 8)
+    max_epoch = args.get("max_epoch", 1_000)
+    max_steps = args.get("max_steps")  # optional extension for smoke runs
+
+    model, cfg = build_autoencoder(config_dict)
+    params = model.init(jax.random.PRNGKey(args.get("seed", 0)))
+
+    optimizer = optim.make_adam(model_lr, lr_update_step)
+    opt_state = optimizer.init(params)
+
+    if args.get("model_path"):
+        status, ckpt = load_model(args["model_path"], logging=log.info)
+        if not status:
+            raise RuntimeError(
+                "An error occured while loading model checkpoint!")
+        params = common.restore_model_state(model, params, ckpt["model"],
+                                            logging=log.info)
+        if args.get("load_optim") and "model_optimizer" in ckpt:
+            try:
+                opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, ckpt["model_optimizer"])
+            except Exception as e:
+                log.info(f"Could not restore optimizer state: {e}")
+
+    mesh = make_mesh_for_batch(batch_size)
+    data_sharding = batch_sharding(mesh, ndim=4)
+    params = shard_tree(mesh, params)
+    opt_state = shard_tree(mesh, opt_state)
+
+    dataset = ImageDataset(args["dataset_path"])
+    loader = DataLoader(dataset, batch_size=batch_size,
+                        seed=args.get("seed", 0))
+
+    train_step = make_train_step(model, optimizer)
+
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    log.info(PROJECT_NAME)
+    log.info(f"Output Dir: {out_dir}")
+    log.info(f"Model size: {n_params:,}")
+    log.info("#" * 100)
+    log.info("Autoencoder Parameters.")
+    log.info(f"Num Layers: {cfg.num_layers:,}")
+    log.info(f"Image Channel: {cfg.image_channel:,}")
+    log.info(f"Min Channel: {cfg.min_channel:,}")
+    log.info(f"Max Channel: {cfg.max_channel:,}")
+    log.info(f"Latent Channel: {cfg.latent_channel:,}")
+    log.info(f"Hidden activation type: {cfg.hidden_activation_type}")
+    log.info("#" * 100)
+    log.info("Training Parameters.")
+    log.info(f"Max Epoch: {max_epoch:,}")
+    log.info(f"Batch Size: {batch_size:,}")
+    log.info(f"Model LR Update size: {lr_update_step:,}")
+    log.info(f"Model Checkpoint step: {checkpoint_step:,}")
+    log.info("#" * 100)
+
+    global_steps = 0
+    stop = False
+    for _ in range(max_epoch):
+        total_recon_loss = 0.0
+        iteration_count = 0
+        for index, image in enumerate(loader):
+            batch = jax.device_put(jnp.asarray(image), data_sharding)
+            params, opt_state, loss = train_step(params, opt_state, batch)
+            loss = float(loss)
+            common.check_finite(loss)
+            iteration_count += 1
+            total_recon_loss += loss
+
+            if global_steps % checkpoint_step == 0:
+                save_status = save_model(
+                    checkpoint_dict(cfg, params, opt_state),
+                    dest_path=out_dir,
+                    file_name=f"model_{global_steps}.pt",
+                    logging=log.info)
+                log.info("Successfully saved model." if save_status
+                         else "Error occured saving model.")
+                recon = np.asarray(model.apply(params, batch))
+                save_images(image, f"ground_truth_{global_steps}", out_dir,
+                            logging=log.info)
+                save_images(recon, f"recon_{global_steps}", out_dir,
+                            logging=log.info)
+
+            lr_now = optim.current_lr(model_lr, lr_update_step,
+                                      global_steps + 1)
+            log.info(
+                "Cum. Steps: {:,} | Steps: {:,} / {:,} | L.R.: {:.8f} | "
+                "Recon Loss: {:.5f}".format(
+                    global_steps + 1, index + 1, len(loader), lr_now,
+                    total_recon_loss / iteration_count))
+            global_steps += 1
+            if max_steps and global_steps >= max_steps:
+                stop = True
+                break
+        if stop:
+            break
+    return params, opt_state

@@ -1,0 +1,96 @@
+"""Shared training-stage plumbing: config load, platform selection, model
+state save/restore dispatch."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qaig_tpu.utils.checkpoint import flatten_tree, tolerant_restore
+from qaig_tpu.utils import torch_compat
+
+
+def load_config(path):
+    with open(path, "r") as f:
+        return json.load(f)
+
+
+def select_platform(device):
+    """Map the CLI --device flag onto jax platforms.  'auto' keeps whatever
+    the environment provides (TPU when present)."""
+    if device in (None, "auto", "tpu", "cuda"):
+        return
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
+def model_state_dict(params):
+    """Flat dotted-path numpy state (the checkpoint 'model' entry)."""
+    return {k: np.asarray(v) for k, v in flatten_tree(params).items()}
+
+
+def looks_like_torch_state(state):
+    return any(k.endswith(".weight") or k.endswith(".bias") or k == "weight"
+               for k in state)
+
+
+def restore_model_state(model, params, state, logging=print):
+    """Tolerantly restore a checkpoint 'model' entry — either this
+    framework's flat state or a reference torch state_dict."""
+    if looks_like_torch_state(state):
+        return torch_compat.load_torch_into(model, params, state,
+                                            logging=logging)
+    return tolerant_restore(params, state, logging=logging)
+
+
+def to_device_params(params):
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def check_finite(loss, context="training"):
+    if not np.isfinite(loss):
+        raise FloatingPointError(f"NaN encountered during {context}.")
+
+
+def ensure_dir(path):
+    os.makedirs(str(path), exist_ok=True)
+    return path
+
+
+def decoder_from_checkpoint(ckpt, logging=print):
+    """Rebuild the FC decoder from an autoencoder checkpoint dict (reference
+    ``train_codebook.py:119-141`` / ``train_quantized_transformer.py:
+    186-208`` pattern)."""
+    from qaig_tpu.models.conv_nets import FCDecoder, ConvNetConfig
+    cfg = ConvNetConfig(
+        num_layers=ckpt["num_layers"],
+        image_channel=ckpt["image_channel"],
+        min_channel=ckpt["min_channel"],
+        max_channel=ckpt["max_channel"],
+        latent_channel=ckpt["latent_channel"],
+        hidden_activation_type=ckpt["hidden_activation_type"],
+        use_final_activation=ckpt["use_final_dec_activation"],
+        final_activation_type=ckpt["decoder_activation_type"])
+    model = FCDecoder(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params = restore_model_state(model, params, ckpt["model"],
+                                 logging=logging)
+    return model, params, cfg
+
+
+def codebook_from_checkpoint(ckpt, logging=print):
+    """Rebuild a codebook from its checkpoint dict (reference
+    ``train_quantized_transformer.py:211-255`` pattern)."""
+    from qaig_tpu.models.codebook import Codebook
+    model = Codebook(
+        patch_dim=tuple(ckpt["patch_dim"]),
+        image_dim=tuple(ckpt["image_dim"]),
+        image_channel=ckpt["image_C"],
+        num_embeddings=ckpt["num_embeddings"],
+        init_neighbour_range=ckpt["neighbourhood_range"])
+    params = model.init(jax.random.PRNGKey(0))
+    params = restore_model_state(model, params, ckpt["checkpoint"],
+                                 logging=logging)
+    return model, params

@@ -1,0 +1,384 @@
+"""Quantized-transformer training stage (base + cascade modes).
+
+Parity with reference ``train_quantized_transformer.py:38-691``:
+
+* on-the-fly BMU tokenization of each feature-map batch against the LR and
+  HR codebooks,
+* base mode: decoder-only over the combined LR+HR vocabulary, LR token(s)
+  act as the <start> conditioning; cascade mode: encoder-decoder with a
+  dedicated <start> token (= hr_K) and the LR tokens feeding the encoder,
+* target = HR tokens + <end> (= hr_K),
+* optional sliding window: one random window per sample with its absolute
+  patch positions as AdaLN conditioning,
+* Adam(0.5, 0.999), LR halving, NaN guard, reference checkpoint schema, and
+  the checkpoint-time autoregressive image preview.
+
+TPU-native: tokenization + window sampling + forward/backward/update run as
+one jitted function (windows are per-sample ``dynamic_slice``s, not the
+reference's materialize-all-windows ``unfold``); the preview decode uses the
+KV-cached / windowed engines in ``qaig_tpu.infer.decode``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from qaig_tpu.data import FeatureMapDataset, DataLoader
+from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+from qaig_tpu.models.transformer import Transformer, TransformerConfig
+from qaig_tpu.parallel import batch_sharding, shard_tree
+from qaig_tpu.parallel.mesh import make_mesh_for_batch
+from qaig_tpu.train import common, optim
+from qaig_tpu.utils import save_model, load_model, save_images
+from qaig_tpu.utils.logging_utils import setup_logging
+
+PROJECT_NAME = "Quantized Transformer"
+
+
+def build_transformer_config(config_dict, train_base_model, lr_num_embeddings,
+                             hr_num_embeddings, use_remat=False):
+    """Vocabulary assembly parity with ``train_quantized_transformer.py:
+    258-314``."""
+    use_sliding_window = config_dict["use_sliding_window"]
+    if train_base_model:
+        num_enc_layers = 0
+        num_enc_embedding = 0
+        cross_attn_heads = 0
+        num_dec_embedding = lr_num_embeddings + hr_num_embeddings
+    else:
+        num_enc_layers = config_dict["num_enc_layers"]
+        num_enc_embedding = lr_num_embeddings
+        cross_attn_heads = config_dict["cross_attn_heads"]
+        num_dec_embedding = hr_num_embeddings + 1  # includes <start>
+
+    return TransformerConfig(
+        use_encoder=not train_base_model,
+        use_pos_cond=use_sliding_window,
+        num_enc_layers=num_enc_layers,
+        num_dec_layers=config_dict["num_dec_layers"],
+        num_enc_embedding=max(num_enc_embedding, 1),
+        num_dec_embedding=num_dec_embedding,
+        self_attn_heads=config_dict["self_attn_heads"],
+        cross_attn_heads=cross_attn_heads,
+        in_dim=config_dict["in_dim"],
+        out_dim=hr_num_embeddings + 1,  # includes <end>
+        hidden_dim=config_dict["hidden_dim"],
+        hidden_activation=config_dict["hidden_activation"],
+        use_remat=use_remat)
+
+
+def assemble_sequences(lr_indices, hr_indices, train_base_model,
+                       lr_num_embeddings, hr_num_embeddings):
+    """Build (hr_input, lr_input, hr_target) from BMU token grids
+    (``train_quantized_transformer.py:423-455``)."""
+    n = hr_indices.shape[0]
+    end = jnp.full((n, 1), hr_num_embeddings, hr_indices.dtype)
+    hr_target = jnp.concatenate([hr_indices, end], axis=1)
+    if train_base_model:
+        hr_input = jnp.concatenate(
+            [lr_indices, hr_indices + lr_num_embeddings], axis=1)
+        lr_input = None
+    else:
+        start = jnp.full((n, 1), hr_num_embeddings, hr_indices.dtype)
+        hr_input = jnp.concatenate([start, hr_indices], axis=1)
+        lr_input = lr_indices
+    return hr_input, lr_input, hr_target
+
+
+def sample_windows(rng, hr_input, hr_target, window):
+    """One random length-``window`` slice per sample; returns the sliced
+    input/target and the absolute position indices
+    (``train_quantized_transformer.py:459-484``), as per-sample dynamic
+    slices instead of materializing every window."""
+    n, seq_in = hr_input.shape
+    num_windows = seq_in - window + 1
+    starts = jax.random.randint(rng, (n,), 0, num_windows)
+
+    def slice_row(row, start):
+        return jax.lax.dynamic_slice(row, (start,), (window,))
+
+    win_input = jax.vmap(slice_row)(hr_input, starts)
+    win_target = jax.vmap(slice_row)(hr_target, starts)
+    pos = starts[:, None] + jnp.arange(window)[None, :]
+    return win_input, win_target, pos
+
+
+def make_train_step(model, optimizer, lr_codebook, hr_codebook,
+                    train_base_model, lr_num_embeddings, hr_num_embeddings,
+                    sliding_window=None):
+    def step(params, opt_state, cb_params, batch, rng):
+        lr_params, hr_params = cb_params
+        lr_idx = lr_codebook.get_patches_bmu(lr_params, batch, reshape=True)
+        hr_idx = hr_codebook.get_patches_bmu(hr_params, batch, reshape=True)
+        hr_input, lr_input, hr_target = assemble_sequences(
+            lr_idx, hr_idx, train_base_model, lr_num_embeddings,
+            hr_num_embeddings)
+
+        pos_cond = None
+        if sliding_window is not None:
+            hr_input, hr_target, pos_cond = sample_windows(
+                rng, hr_input, hr_target, sliding_window)
+
+        def loss_fn(p):
+            logits = model.apply(p, hr_input, x_enc=lr_input,
+                                 pos_cond=pos_cond)
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, logits.shape[-1]), hr_target.reshape(-1))
+            return jnp.mean(losses)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def checkpoint_dict(cfg, config_dict, train_base_model, sliding_window,
+                    params, opt_state):
+    return {
+        "train_base_model": train_base_model,
+        "use_sliding_window": cfg.use_pos_cond,
+        "sliding_window": sliding_window,
+        "num_enc_embedding": (cfg.num_enc_embedding if cfg.use_encoder
+                              else None),
+        "num_dec_embedding": cfg.num_dec_embedding,
+        "num_enc_layers": cfg.num_enc_layers if cfg.use_encoder else None,
+        "num_dec_layers": cfg.num_dec_layers,
+        "self_attn_heads": cfg.self_attn_heads,
+        "cross_attn_heads": (cfg.cross_attn_heads if cfg.use_encoder
+                             else None),
+        "transformer_in_dim": cfg.in_dim,
+        "transformer_out_dim": cfg.out_dim,
+        "transformer_hidden_dim": cfg.hidden_dim,
+        "hidden_activation": cfg.hidden_activation,
+        "model": None,  # filled by caller
+        "model_optimizer": None,
+    }
+
+
+def generate_preview_tokens(engine, params, feature_map, lr_codebook,
+                            lr_params, train_base_model, lr_num_embeddings,
+                            hr_num_embeddings, total_hr_seq, temperature,
+                            sliding_window, rng):
+    """Checkpoint-time AR preview (``train_quantized_transformer.py:
+    581-661``): returns HR-vocabulary token grid (N, total_hr_seq)."""
+    lr_tokens = lr_codebook.get_patches_bmu(lr_params, feature_map,
+                                            reshape=True)
+    n = lr_tokens.shape[0]
+    if train_base_model:
+        init = lr_tokens
+        x_enc = None
+        shift = lr_num_embeddings
+    else:
+        init = jnp.full((n, 1), hr_num_embeddings, jnp.int32)
+        x_enc = lr_tokens
+        shift = 0
+
+    settings = SamplerSettings(
+        temperature=temperature, end_token=hr_num_embeddings,
+        end_mode="replace_zero", index_shift=shift)
+    tokens = engine.generate(params, init, total_hr_seq, rng, settings,
+                             x_enc=x_enc, sliding_window=sliding_window)
+    return tokens - shift
+
+
+def run(args):
+    common.select_platform(args.get("device"))
+    out_dir = common.ensure_dir(args["out_dir"])
+    log = setup_logging(out_dir, PROJECT_NAME)
+
+    config_dict = common.load_config(args["config_path"])
+    model_lr = config_dict["model_lr"]
+    train_base_model = args.get("train_base_model", False)
+    temperature = args.get("temperature", 1.0)
+    test_num_sample = args.get("test_num_sample", 25)
+    lr_update_step = args.get("lr_step", 50_000)
+    checkpoint_step = args.get("checkpoint_step", 1_000)
+    batch_size = args.get("batch_size", 8)
+    max_epoch = args.get("max_epoch", 1_000)
+    max_steps = args.get("max_steps")
+
+    # Pre-trained decoder + codebooks.
+    status, dec_ckpt = load_model(args["decoder_path"], logging=log.info)
+    if not status:
+        raise RuntimeError(
+            "An error occured while loading decoder model checkpoint!")
+    decoder, dec_params, _ = common.decoder_from_checkpoint(
+        dec_ckpt, logging=log.info)
+    decode_image = jax.jit(decoder.apply)
+
+    status, lr_ckpt = load_model(args["lr_codebook_path"], logging=log.info)
+    if not status:
+        raise RuntimeError(
+            "An error occured while loading Low-Resolution codebook "
+            "checkpoint!")
+    lr_codebook, lr_params = common.codebook_from_checkpoint(
+        lr_ckpt, logging=log.info)
+
+    status, hr_ckpt = load_model(args["hr_codebook_path"], logging=log.info)
+    if not status:
+        raise RuntimeError(
+            "An error occured while loading High-Resolution codebook "
+            "checkpoint!")
+    hr_codebook, hr_params = common.codebook_from_checkpoint(
+        hr_ckpt, logging=log.info)
+
+    lr_num_embeddings = lr_codebook.num_embeddings
+    hr_num_embeddings = hr_codebook.num_embeddings
+    total_hr_seq = hr_codebook.seq_len
+
+    use_sliding_window = config_dict["use_sliding_window"]
+    sliding_window = (config_dict["sliding_window"] if use_sliding_window
+                      else None)
+
+    cfg = build_transformer_config(
+        config_dict, train_base_model, lr_num_embeddings, hr_num_embeddings,
+        use_remat=args.get("use_activation_checkpoint", False))
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(args.get("seed", 0)))
+
+    optimizer = optim.make_adam(model_lr, lr_update_step)
+    opt_state = optimizer.init(params)
+
+    if args.get("model_path"):
+        status, ckpt = load_model(args["model_path"], logging=log.info)
+        if not status:
+            raise RuntimeError(
+                "An error occured while loading model checkpoint!")
+        params = common.restore_model_state(model, params, ckpt["model"],
+                                            logging=log.info)
+        if args.get("load_optim") and ckpt.get("model_optimizer") is not None:
+            try:
+                opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, ckpt["model_optimizer"])
+            except Exception as e:
+                log.info(f"Could not restore optimizer state: {e}")
+
+    mesh = make_mesh_for_batch(batch_size)
+    data_sharding = batch_sharding(mesh, ndim=4)
+    params = shard_tree(mesh, params)
+    opt_state = shard_tree(mesh, opt_state)
+    lr_params = shard_tree(mesh, lr_params)
+    hr_params = shard_tree(mesh, hr_params)
+
+    dataset = FeatureMapDataset(args["dataset_path"])
+    loader = DataLoader(dataset, batch_size=batch_size,
+                        seed=args.get("seed", 0))
+    test_loader = DataLoader(dataset, batch_size=min(test_num_sample,
+                                                     len(dataset)),
+                             seed=args.get("seed", 0) + 1)
+
+    train_step = make_train_step(
+        model, optimizer, lr_codebook, hr_codebook, train_base_model,
+        lr_num_embeddings, hr_num_embeddings, sliding_window)
+    engine = DecodeEngine(model)
+
+    quant_hr = jax.jit(lambda p, x: hr_codebook.apply(
+        p, x, neighbourhood_range=hr_codebook.neighbourhood_range))
+    quant_lr = jax.jit(lambda p, x: lr_codebook.apply(
+        p, x, neighbourhood_range=lr_codebook.neighbourhood_range))
+    quant_image = jax.jit(
+        lambda p, idx: hr_codebook.get_quantized_image(p, idx))
+
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree_util.tree_leaves(params))
+    log.info(PROJECT_NAME)
+    log.info(f"Output Dir: {out_dir}")
+    log.info(f"Model size: {n_params:,}")
+    log.info("#" * 100)
+    log.info("Codebook Parameters.")
+    log.info(f"Low Res Patch size: {lr_codebook.patch_dim}")
+    log.info(f"Low Res Num Embeddings: {lr_num_embeddings:,}")
+    log.info(f"High Res Patch size: {hr_codebook.patch_dim}")
+    log.info(f"High Res Num Embeddings: {hr_num_embeddings:,}")
+    log.info("#" * 100)
+    log.info("Transformer Parameters.")
+    if use_sliding_window:
+        log.info(f"Sliding Window: {sliding_window:,}")
+    log.info(f"Num Decoder Embedding: {cfg.num_dec_embedding:,}")
+    log.info(f"Num Decoder Layers: {cfg.num_dec_layers:,}")
+    log.info(f"Self Attention Heads: {cfg.self_attn_heads:,}")
+    log.info(f"In Dim: {cfg.in_dim:,}")
+    log.info(f"Out Dim: {cfg.out_dim:,}")
+    log.info(f"Hidden Dim: {cfg.hidden_dim:,}")
+    log.info(f"Hidden activation: {cfg.hidden_activation}")
+    log.info("#" * 100)
+    log.info("Training Parameters.")
+    log.info(f"Max Epoch: {max_epoch:,}")
+    log.info(f"Batch Size: {batch_size:,}")
+    log.info(f"Model LR Update size: {lr_update_step:,}")
+    log.info(f"Model Checkpoint step: {checkpoint_step:,}")
+    log.info("#" * 100)
+
+    rng = jax.random.PRNGKey(args.get("seed", 0))
+    global_steps = 0
+    stop = False
+    for _ in range(max_epoch):
+        total_loss = 0.0
+        iteration_count = 0
+        for index, feature_map in enumerate(loader):
+            batch = jax.device_put(jnp.asarray(feature_map), data_sharding)
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss = train_step(
+                params, opt_state, (lr_params, hr_params), batch, step_rng)
+            loss = float(loss)
+            common.check_finite(loss)
+            iteration_count += 1
+            total_loss += loss
+
+            if global_steps % checkpoint_step == 0:
+                ckpt = checkpoint_dict(cfg, config_dict, train_base_model,
+                                       sliding_window, params, opt_state)
+                ckpt["model"] = common.model_state_dict(params)
+                ckpt["model_optimizer"] = opt_state
+                save_status = save_model(
+                    ckpt, dest_path=out_dir,
+                    file_name=f"model_{global_steps}.pt", logging=log.info)
+                log.info("Successfully saved model." if save_status
+                         else "Error occured saving model.")
+
+                if not args.get("skip_preview"):
+                    test_fmap = jnp.asarray(next(iter(test_loader)))
+                    save_images(
+                        np.asarray(decode_image(dec_params, test_fmap)),
+                        f"ground_truth_{global_steps}", out_dir,
+                        logging=log.info)
+                    save_images(
+                        np.asarray(decode_image(
+                            dec_params, quant_lr(lr_params, test_fmap))),
+                        f"low_res_cond_{global_steps}", out_dir,
+                        logging=log.info)
+                    save_images(
+                        np.asarray(decode_image(
+                            dec_params, quant_hr(hr_params, test_fmap))),
+                        f"high_res_example_{global_steps}", out_dir,
+                        logging=log.info)
+
+                    rng, gen_rng = jax.random.split(rng)
+                    tokens = generate_preview_tokens(
+                        engine, params, test_fmap, lr_codebook, lr_params,
+                        train_base_model, lr_num_embeddings,
+                        hr_num_embeddings, total_hr_seq, temperature,
+                        sliding_window, gen_rng)
+                    recon = decode_image(dec_params,
+                                         quant_image(hr_params, tokens))
+                    save_images(np.asarray(recon),
+                                f"high_res_recon_{global_steps}", out_dir,
+                                logging=log.info)
+
+            lr_now = optim.current_lr(model_lr, lr_update_step,
+                                      global_steps + 1)
+            log.info(
+                "Cum. Steps: {:,} | Steps: {:,} / {:,} | L.R.: {:.8f} | "
+                "Recon Loss: {:.5f}".format(
+                    global_steps + 1, index + 1, len(loader), lr_now,
+                    total_loss / iteration_count))
+            global_steps += 1
+            if max_steps and global_steps >= max_steps:
+                stop = True
+                break
+        if stop:
+            break
+    return model, params

@@ -30,9 +30,11 @@ import jax.numpy as jnp
 def _to_numpy(obj):
     if isinstance(obj, dict):
         return {k: _to_numpy(v) for k, v in obj.items()}
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # NamedTuple
+        return type(obj)(*(_to_numpy(v) for v in obj))
     if isinstance(obj, (list, tuple)):
         converted = [_to_numpy(v) for v in obj]
-        return type(obj)(converted) if isinstance(obj, tuple) else converted
+        return tuple(converted) if isinstance(obj, tuple) else converted
     if isinstance(obj, jnp.ndarray):
         return np.asarray(obj)
     return obj

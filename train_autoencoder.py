@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Train the fully-convolutional autoencoder (CLI parity with the reference
+``train_autoencoder.py``)."""
+
+import argparse
+import pathlib
+
+from qaig_tpu.train import autoencoder
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Train Autoencoder models.")
+    parser.add_argument("--device", choices=["auto", "cpu", "tpu", "cuda"],
+                        type=str, default="auto",
+                        help="Which hardware device will model run on.")
+    parser.add_argument("--dataset-path", required=True, type=pathlib.Path,
+                        help="File path to image dataset json file.")
+    parser.add_argument("--model-path", default=None, type=pathlib.Path,
+                        help="File path to saved model checkpoint.")
+    parser.add_argument("--load-optim", action="store_true",
+                        help="Load saved optim parameters with model.")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--checkpoint-step", type=int, default=1_000)
+    parser.add_argument("--lr-step", type=int, default=50_000)
+    parser.add_argument("--max-epoch", type=int, default=1_000)
+    parser.add_argument("--max-steps", type=int, default=None,
+                        help="Optional hard step cap (smoke runs).")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--config-path", required=True, type=pathlib.Path)
+    parser.add_argument("--out-dir", required=True, type=pathlib.Path)
+    args = vars(parser.parse_args())
+    autoencoder.run(args)
+
+
+if __name__ == "__main__":
+    main()

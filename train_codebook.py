@@ -1,0 +1,32 @@
+#!/usr/bin/env python
+"""Train a SOM codebook (CLI parity with the reference
+``train_codebook.py``)."""
+
+import argparse
+import pathlib
+
+from qaig_tpu.train import codebook
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train Codebook.")
+    parser.add_argument("--device", choices=["auto", "cpu", "tpu", "cuda"],
+                        type=str, default="auto")
+    parser.add_argument("--dataset-path", required=True, type=pathlib.Path)
+    parser.add_argument("--decoder-path", required=True, type=pathlib.Path)
+    parser.add_argument("--codebook-path", required=False, type=pathlib.Path)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--checkpoint-step", type=int, default=1_000)
+    parser.add_argument("--lr-step", type=int, default=100_000)
+    parser.add_argument("--max-epoch", type=int, default=1_000)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("-c", "--config-path", required=True,
+                        type=pathlib.Path)
+    parser.add_argument("--out-dir", required=True, type=pathlib.Path)
+    args = vars(parser.parse_args())
+    codebook.run(args)
+
+
+if __name__ == "__main__":
+    main()

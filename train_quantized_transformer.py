@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Train the quantized transformer (CLI parity with the reference
+``train_quantized_transformer.py``)."""
+
+import argparse
+import pathlib
+
+
+def restricted_float(x):
+    try:
+        x = float(x)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            "%r not a floating-point literal" % (x,))
+    if x < 0.1:
+        raise argparse.ArgumentTypeError("%r not in range > 0.1" % (x,))
+    return x
+
+
+def main():
+    from qaig_tpu.train import transformer
+
+    parser = argparse.ArgumentParser(
+        description="Train Quantized Transformer models.")
+    parser.add_argument("--device", choices=["auto", "cpu", "tpu", "cuda"],
+                        type=str, default="auto")
+    parser.add_argument("--dataset-path", required=True, type=pathlib.Path)
+    parser.add_argument("--train-base-model", action="store_true",
+                        help="Train Base Model, Decoder-only.")
+    parser.add_argument("--decoder-path", required=True, type=pathlib.Path)
+    parser.add_argument("--lr-codebook-path", required=True,
+                        type=pathlib.Path)
+    parser.add_argument("--hr-codebook-path", required=True,
+                        type=pathlib.Path)
+    parser.add_argument("--model-path", default=None, type=pathlib.Path)
+    parser.add_argument("--test-num-sample", type=int, default=25)
+    parser.add_argument("--load-optim", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--temperature", type=restricted_float, default=1.0)
+    parser.add_argument("--checkpoint-step", type=int, default=1_000)
+    parser.add_argument("--lr-step", type=int, default=50_000)
+    parser.add_argument("--max-epoch", type=int, default=1_000)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--use-activation-checkpoint", action="store_true")
+    parser.add_argument("--skip-preview", action="store_true",
+                        help="Skip checkpoint-time AR image previews.")
+    parser.add_argument("--config-path", required=True, type=pathlib.Path)
+    parser.add_argument("--out-dir", required=True, type=pathlib.Path)
+    args = vars(parser.parse_args())
+    transformer.run(args)
+
+
+if __name__ == "__main__":
+    main()
