@@ -3,39 +3,40 @@
 TPU-native replacement for the reference decode loops
 (``train_quantized_transformer.py:610-654`` and ``generate_images.py:
 256-337``), which re-run the transformer over the whole context window for
-every generated token with no KV cache.  Two engines, selected by the model
-config:
+every generated token with no KV cache.
+
+Engines:
 
 * **KV-cached** (``use_pos_cond=False``): prefill + ``lax.scan`` of
   single-token steps against per-layer KV caches — O(Seq) attention per
-  token instead of O(Seq^2) full recompute.
-* **Windowed** (``use_pos_cond=True``): the reference's sliding-window
-  semantics make every cached K/V stale once the window slides (each token's
-  *window-relative* sinusoidal position changes), so this engine recomputes
-  a fixed-size window per step — but as a static-shape ``lax.scan`` with
-  ring-style buffers, precomputed encoder K/V, and the whole loop compiled
-  once.
+  token instead of the reference's O(Seq^2) recompute.
+* **Hybrid sliding-window** (``use_pos_cond=True``): while the context is
+  shorter than the window, positions are stable, so the KV-cached path is
+  *exactly* equivalent to the reference's full-context forward (with the
+  token's absolute position as AdaLN conditioning).  Once the window starts
+  sliding, every token's window-relative sinusoidal position changes each
+  step, which invalidates all cached K/V — the engine switches to a
+  static-shape window-recompute scan.  The reference's steady-state slice is
+  ``sliding_window - 1`` tokens (it advances the start index *before* the
+  forward, ``train_quantized_transformer.py:613-620``), reproduced here with
+  a (W-1)-slot ring buffer.
 
 Sampling semantics preserved from the reference:
 
 * temperature softmax + categorical sampling,
-* ``end_mode='mask'``: the <end> token's probability is zeroed before
-  sampling and the chosen token's *unrenormalized* probability is
-  accumulated into the rollout score (``generate_images.py:291-304``),
+* ``end_mode='mask'``: the <end> probability is zeroed before sampling and
+  the chosen token's *unrenormalized* probability enters the rollout score
+  (``generate_images.py:291-304``),
 * ``end_mode='replace_zero'``: sample from the full distribution, then remap
-  <end> -> 0 (the training-preview hack, ``train_quantized_transformer.py:
-  636``),
-* ``index_shift``: base-model context tokens live in the combined
-  LR+HR vocabulary, so sampled HR indices are shifted up before being fed
-  back (``generate_images.py:306-308``),
-* rollout "beam search": ``num_beam`` independent continuations of
-  ``beam_width`` tokens each; per batch element the continuation with the
-  best probability product wins (``generate_images.py:262-337``).  Here the
-  rollouts run as one batched decode (batch axis = N * num_beam).
+  <end> -> 0 (training-preview hack, ``train_quantized_transformer.py:636``),
+* ``index_shift``: base-model context tokens live in the combined LR+HR
+  vocabulary (``generate_images.py:306-308``),
+* rollout "beam search": best of ``num_beam`` independent ``beam_width``-
+  token continuations per batch element (``generate_images.py:262-337``),
+  run here as one batched decode over an N*num_beam batch axis.
 """
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -49,9 +50,21 @@ class SamplerSettings:
     index_shift: int = 0        # added to sampled tokens before re-feeding
 
 
+@dataclass
+class DecodeState:
+    """Python-side wrapper: ``arrays`` is the jit-carried pytree; the mode
+    switch (cached -> windowed) is statically determined from the Python
+    counters, so every jitted segment has static shapes."""
+    mode: str                   # 'cached' | 'windowed'
+    arrays: dict
+    init_len: int
+    gen_count: int = 0
+    window: int = None          # sliding_window (pos-cond models only)
+
+
 def _sample(logits, rng, s: SamplerSettings):
     """Returns (context_token (N,), chosen_prob (N,))."""
-    scaled = logits / s.temperature
+    scaled = logits.astype(jnp.float32) / s.temperature
     probs = jax.nn.softmax(scaled, axis=-1)
     if s.end_mode == "mask":
         probs = probs.at[:, s.end_token].set(0.0)
@@ -96,73 +109,14 @@ class DecodeEngine:
         return self._jit_cache[key]
 
     # ------------------------------------------------------------------
-    # KV-cached path (use_pos_cond=False)
+    # cached state init / segment
     # ------------------------------------------------------------------
 
-    def cached_init(self, params, init_tokens, total_len, x_enc=None):
-        """Prefill; returns the decode state."""
+    def _cached_init(self, params, init_tokens, total_len, x_enc, ctx_size):
+        """Prefill.  ``ctx_size``: when >0 (pos-cond models), keep a token
+        context ring of that size for the later window conversion."""
         model = self.model
-
-        def build():
-            def fn(params, init_tokens, x_enc):
-                init_tokens = init_tokens.astype(jnp.int32)
-                cross_kv = None
-                if model.cfg.use_encoder:
-                    enc_out = model.encode(params, x_enc)
-                    cross_kv = model.make_cross_kv(params, enc_out)
-                caches = model.init_cache(init_tokens.shape[0], total_len)
-                logits, caches = model.prefill(params, init_tokens, caches,
-                                               cross_kv=cross_kv)
-                return {"caches": caches, "cross_kv": cross_kv,
-                        "logits": logits,
-                        "index": jnp.asarray(init_tokens.shape[1], jnp.int32)}
-            return fn
-
-        key = ("cached_init", init_tokens.shape, total_len,
-               None if x_enc is None else x_enc.shape)
-        return self._jitted(key, build)(params, init_tokens, x_enc)
-
-    def cached_segment(self, params, state, rng, num_steps,
-                       settings: SamplerSettings):
-        """Generate ``num_steps`` tokens; returns (state, tokens (N, steps),
-        logp (N,))."""
-        model = self.model
-
-        def build():
-            def fn(params, state, rng):
-                def body(carry, step_rng):
-                    logits, caches, index, logp = carry
-                    token, p = _sample(logits, step_rng, settings)
-                    logits, caches = model.decode_step(
-                        params, token, caches, index,
-                        cross_kv=state["cross_kv"])
-                    return ((logits, caches, index + 1,
-                             logp + jnp.log(jnp.maximum(p, 1e-38))), token)
-
-                keys = jax.random.split(rng, num_steps)
-                carry = (state["logits"], state["caches"], state["index"],
-                         jnp.zeros(state["logits"].shape[0]))
-                (logits, caches, index, logp), tokens = jax.lax.scan(
-                    body, carry, keys)
-                new_state = dict(state, caches=caches, logits=logits,
-                                 index=index)
-                return new_state, tokens.T, logp
-            return fn
-
-        key = ("cached_seg", num_steps, settings,
-               state["logits"].shape)
-        return self._jitted(key, build)(params, state, rng)
-
-    # ------------------------------------------------------------------
-    # Windowed path (use_pos_cond=True)
-    # ------------------------------------------------------------------
-
-    def windowed_init(self, params, init_tokens, window, x_enc=None):
-        """Fixed-size window buffers; valid tokens occupy slots [0, filled).
-
-        ``init_tokens`` is (N, P) with P <= window; their pos indices are 0
-        (matching the reference's zero-initialised ``pos_indices``)."""
-        model = self.model
+        use_pos = model.cfg.use_pos_cond
 
         def build():
             def fn(params, init_tokens, x_enc):
@@ -172,70 +126,120 @@ class DecodeEngine:
                 if model.cfg.use_encoder:
                     enc_out = model.encode(params, x_enc)
                     cross_kv = model.make_cross_kv(params, enc_out)
-                tok_buf = jnp.zeros((n, window), init_tokens.dtype)
-                tok_buf = tok_buf.at[:, :p].set(init_tokens)
-                pos_buf = jnp.zeros((n, window), jnp.float32)
-                return {"tok_buf": tok_buf, "pos_buf": pos_buf,
-                        "cross_kv": cross_kv,
-                        "filled": jnp.asarray(p, jnp.int32),
-                        "gen_count": jnp.asarray(0, jnp.int32)}
+                caches = model.init_cache(
+                    n, total_len, params["dec_embedding"]["w"].dtype)
+                pos_cond = jnp.zeros((n, p), jnp.float32) if use_pos else None
+                logits, caches = model.prefill(params, init_tokens, caches,
+                                               cross_kv=cross_kv,
+                                               pos_cond=pos_cond)
+                state = {"caches": caches, "cross_kv": cross_kv,
+                         "logits": logits,
+                         "index": jnp.asarray(p, jnp.int32)}
+                if ctx_size:
+                    ctx = jnp.zeros((n, ctx_size), jnp.int32)
+                    state["ctx"] = ctx.at[:, :p].set(init_tokens)
+                return state
             return fn
 
-        key = ("win_init", init_tokens.shape, window,
+        key = ("cached_init", init_tokens.shape, total_len, ctx_size,
                None if x_enc is None else x_enc.shape)
         return self._jitted(key, build)(params, init_tokens, x_enc)
 
-    def windowed_segment(self, params, state, rng, num_steps,
-                         settings: SamplerSettings):
+    def _cached_segment(self, params, arrays, rng, num_steps,
+                        settings: SamplerSettings):
         model = self.model
-        window = state["tok_buf"].shape[1]
+        use_pos = model.cfg.use_pos_cond
+        has_ctx = "ctx" in arrays
 
         def build():
-            def fn(params, state, rng):
-                cross_kv = state["cross_kv"]
-
+            def fn(params, arrays, rng):
                 def body(carry, step_rng):
-                    tok_buf, pos_buf, filled, gen_count, logp = carry
-                    logits_all = model.window_forward(
-                        params, tok_buf, pos_cond=pos_buf, cross_kv=cross_kv)
-                    read = jnp.clip(filled - 1, 0, window - 1)
-                    logits = logits_all[:, read]
-                    token, prob = _sample(logits, step_rng, settings)
-
-                    new_pos = (gen_count + 1).astype(jnp.float32)
-                    n = tok_buf.shape[0]
-                    # append (buffer not yet full) vs slide-left-and-append
-                    app_tok = jax.vmap(
-                        lambda row, t: jax.lax.dynamic_update_slice(
-                            row, t[None], (filled,)))(tok_buf, token)
-                    app_pos = jax.vmap(
-                        lambda row: jax.lax.dynamic_update_slice(
-                            row, new_pos[None], (filled,)))(pos_buf)
-                    slide_tok = jnp.roll(tok_buf, -1, axis=1).at[:, -1].set(
-                        token)
-                    slide_pos = jnp.roll(pos_buf, -1, axis=1).at[:, -1].set(
-                        new_pos)
-                    not_full = filled < window
-                    tok_buf = jnp.where(not_full, app_tok, slide_tok)
-                    pos_buf = jnp.where(not_full, app_pos, slide_pos)
-                    filled = jnp.minimum(filled + 1, window)
-                    logp = logp + jnp.log(jnp.maximum(prob, 1e-38))
-                    return ((tok_buf, pos_buf, filled, gen_count + 1, logp),
-                            token)
+                    logits, caches, index, ctx, logp = carry
+                    token, p = _sample(logits, step_rng, settings)
+                    if has_ctx:
+                        ctx = jax.lax.dynamic_update_slice(
+                            ctx, token[:, None].astype(jnp.int32), (0, index))
+                    # While unslid, the token's absolute position == its slot
+                    # index (single-token init with pos 0, reference zeros).
+                    pos_val = index if use_pos else None
+                    logits, caches = model.decode_step(
+                        params, token, caches, index,
+                        cross_kv=arrays["cross_kv"], pos_cond_value=pos_val)
+                    return ((logits, caches, index + 1, ctx,
+                             logp + jnp.log(jnp.maximum(p, 1e-38))), token)
 
                 keys = jax.random.split(rng, num_steps)
-                n = state["tok_buf"].shape[0]
-                carry = (state["tok_buf"], state["pos_buf"], state["filled"],
-                         state["gen_count"], jnp.zeros(n))
-                (tok_buf, pos_buf, filled, gen_count, logp), tokens = \
-                    jax.lax.scan(body, carry, keys)
-                new_state = dict(state, tok_buf=tok_buf, pos_buf=pos_buf,
-                                 filled=filled, gen_count=gen_count)
-                return new_state, tokens.T, logp
+                n = arrays["logits"].shape[0]
+                carry = (arrays["logits"], arrays["caches"], arrays["index"],
+                         arrays.get("ctx", jnp.zeros((n, 1), jnp.int32)),
+                         jnp.zeros(n))
+                (logits, caches, index, ctx, logp), tokens = jax.lax.scan(
+                    body, carry, keys)
+                new_arrays = dict(arrays, caches=caches, logits=logits,
+                                  index=index)
+                if has_ctx:
+                    new_arrays["ctx"] = ctx
+                return new_arrays, tokens.T, logp
             return fn
 
-        key = ("win_seg", num_steps, settings, state["tok_buf"].shape)
-        return self._jitted(key, build)(params, state, rng)
+        key = ("cached_seg", num_steps, settings, has_ctx,
+               arrays["logits"].shape)
+        return self._jitted(key, build)(params, arrays, rng)
+
+    # ------------------------------------------------------------------
+    # windowed state / segment
+    # ------------------------------------------------------------------
+
+    def _windowed_from_cached(self, arrays, window, gen_count):
+        """Static conversion at the first slide: context length == window;
+        the reference drops the first token and runs on the remaining
+        (window - 1) with their absolute positions."""
+        ctx = arrays["ctx"]
+        n = ctx.shape[0]
+        tok_buf = ctx[:, 1:window]
+        pos_buf = jnp.broadcast_to(
+            jnp.arange(1, window, dtype=jnp.float32)[None], (n, window - 1))
+        return {"tok_buf": tok_buf, "pos_buf": pos_buf,
+                "cross_kv": arrays["cross_kv"],
+                "gen_count": jnp.asarray(gen_count, jnp.int32)}
+
+    def _windowed_segment(self, params, arrays, rng, num_steps,
+                          settings: SamplerSettings):
+        """Steady-state sliding decode over a full (W-1)-slot buffer."""
+        model = self.model
+        buf_len = arrays["tok_buf"].shape[1]
+
+        def build():
+            def fn(params, arrays, rng):
+                cross_kv = arrays["cross_kv"]
+
+                def body(carry, step_rng):
+                    tok_buf, pos_buf, gen_count, logp = carry
+                    logits_all = model.window_forward(
+                        params, tok_buf, pos_cond=pos_buf, cross_kv=cross_kv)
+                    logits = logits_all[:, -1]
+                    token, prob = _sample(logits, step_rng, settings)
+                    new_pos = (gen_count + 1).astype(jnp.float32)
+                    tok_buf = jnp.roll(tok_buf, -1, axis=1).at[:, -1].set(
+                        token.astype(tok_buf.dtype))
+                    pos_buf = jnp.roll(pos_buf, -1, axis=1).at[:, -1].set(
+                        new_pos)
+                    logp = logp + jnp.log(jnp.maximum(prob, 1e-38))
+                    return (tok_buf, pos_buf, gen_count + 1, logp), token
+
+                keys = jax.random.split(rng, num_steps)
+                n = arrays["tok_buf"].shape[0]
+                carry = (arrays["tok_buf"], arrays["pos_buf"],
+                         arrays["gen_count"], jnp.zeros(n))
+                (tok_buf, pos_buf, gen_count, logp), tokens = jax.lax.scan(
+                    body, carry, keys)
+                new_arrays = dict(arrays, tok_buf=tok_buf, pos_buf=pos_buf,
+                                  gen_count=gen_count)
+                return new_arrays, tokens.T, logp
+            return fn
+
+        key = ("win_seg", num_steps, settings, arrays["tok_buf"].shape)
+        return self._jitted(key, build)(params, arrays, rng)
 
     # ------------------------------------------------------------------
     # public API
@@ -243,27 +247,74 @@ class DecodeEngine:
 
     def init_state(self, params, init_tokens, num_new_tokens, x_enc=None,
                    sliding_window=None):
+        init_len = init_tokens.shape[1]
         if self.model.cfg.use_pos_cond:
             if sliding_window is None:
                 raise ValueError("use_pos_cond model needs sliding_window")
-            return self.windowed_init(params, init_tokens, sliding_window,
-                                      x_enc=x_enc)
-        total = init_tokens.shape[1] + num_new_tokens
-        return self.cached_init(params, init_tokens, total, x_enc=x_enc)
+            if init_len != 1:
+                raise ValueError(
+                    "sliding-window decode expects a single conditioning "
+                    "token (reference zero-position contract)")
+            # cached while context < window; cache sized for the pre-slide
+            # phase only.
+            cached_len = min(init_len + num_new_tokens, sliding_window)
+            arrays = self._cached_init(params, init_tokens, cached_len,
+                                       x_enc, ctx_size=sliding_window)
+            return DecodeState(mode="cached", arrays=arrays,
+                               init_len=init_len, window=sliding_window)
+        total = init_len + num_new_tokens
+        arrays = self._cached_init(params, init_tokens, total, x_enc,
+                                   ctx_size=0)
+        return DecodeState(mode="cached", arrays=arrays, init_len=init_len)
 
-    def segment(self, params, state, rng, num_steps, settings):
-        if self.model.cfg.use_pos_cond:
-            return self.windowed_segment(params, state, rng, num_steps,
-                                         settings)
-        return self.cached_segment(params, state, rng, num_steps, settings)
+    def segment(self, params, state: DecodeState, rng, num_steps, settings):
+        """Generate ``num_steps`` tokens from ``state`` (mutating the Python
+        wrapper); returns (tokens (N, steps), logp (N,))."""
+        if state.window is None:
+            arrays, tokens, logp = self._cached_segment(
+                params, state.arrays, rng, num_steps, settings)
+            state.arrays = arrays
+            state.gen_count += num_steps
+            return tokens, logp
+
+        # hybrid: cached until the context reaches the window size
+        n_cached_left = max(
+            0, (state.window - state.init_len) - state.gen_count)
+        parts, logps = [], []
+        if state.mode == "cached":
+            k = min(num_steps, n_cached_left)
+            if k > 0:
+                rng, seg_rng = jax.random.split(rng)
+                arrays, tokens, logp = self._cached_segment(
+                    params, state.arrays, seg_rng, k, settings)
+                state.arrays = arrays
+                state.gen_count += k
+                parts.append(tokens)
+                logps.append(logp)
+            if state.gen_count >= state.window - state.init_len \
+                    and num_steps > k:
+                state.arrays = self._windowed_from_cached(
+                    state.arrays, state.window, state.gen_count)
+                state.mode = "windowed"
+            num_steps -= k
+        if num_steps > 0:
+            arrays, tokens, logp = self._windowed_segment(
+                params, state.arrays, rng, num_steps, settings)
+            state.arrays = arrays
+            state.gen_count += num_steps
+            parts.append(tokens)
+            logps.append(logp)
+        tokens = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                  axis=1)
+        logp = logps[0] if len(logps) == 1 else sum(logps)
+        return tokens, logp
 
     def generate(self, params, init_tokens, num_new_tokens, rng, settings,
                  x_enc=None, sliding_window=None):
         """Single-path generation (training-preview decode)."""
         state = self.init_state(params, init_tokens, num_new_tokens,
                                 x_enc=x_enc, sliding_window=sliding_window)
-        _, tokens, _ = self.segment(params, state, rng, num_new_tokens,
-                                    settings)
+        tokens, _ = self.segment(params, state, rng, num_new_tokens, settings)
         return tokens
 
     def rollout_generate(self, params, init_tokens, num_new_tokens, rng,
@@ -281,13 +332,18 @@ class DecodeEngine:
         state = self.init_state(params, init_tokens, num_new_tokens,
                                 x_enc=x_enc, sliding_window=sliding_window)
         out = []
-        num_segments = num_new_tokens // beam_width
-        for _ in range(num_segments):
+        for _ in range(num_new_tokens // beam_width):
             rng, seg_rng = jax.random.split(rng)
-            tiled = _tile(state, num_beam)
-            new_state, tokens, logp = self.segment(
-                params, tiled, seg_rng, beam_width, settings)
+            tiled = DecodeState(mode=state.mode,
+                                arrays=_tile(state.arrays, num_beam),
+                                init_len=state.init_len,
+                                gen_count=state.gen_count,
+                                window=state.window)
+            tokens, logp = self.segment(params, tiled, seg_rng, beam_width,
+                                        settings)
             winner = jnp.argmax(logp.reshape(n, num_beam), axis=1)
-            state = _select_beam(new_state, winner, num_beam)
+            state.arrays = _select_beam(tiled.arrays, winner, num_beam)
+            state.mode = tiled.mode
+            state.gen_count = tiled.gen_count
             out.append(_select_beam(tokens, winner, num_beam))
         return jnp.concatenate(out, axis=1)

@@ -69,10 +69,12 @@ _LN_EPS = 1e-5  # torch nn.LayerNorm default.
 
 
 def layer_norm(x, eps=_LN_EPS):
-    """Affine-free layer norm over the trailing axis."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps)
+    """Affine-free layer norm over the trailing axis (statistics in f32 for
+    bf16 streams, result cast back to the input dtype)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def init_layer_norm(dim):

@@ -112,7 +112,7 @@ class Transformer:
         h = core.embedding_lookup(params["enc_embedding"], x_enc)
         seq = h.shape[1]
         pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, seq + 1))
-        h = h + pos[None]
+        h = h + pos[None].astype(h.dtype)
         block = lambda p, x: blocks.transformer_block(p, self.enc_block_cfg, x)
         if cfg.use_remat:
             block = jax.checkpoint(block)
@@ -125,6 +125,7 @@ class Transformer:
         cfg = self.cfg
         act = get_activation(cfg.hidden_activation)
         emb = sinusoidal_pos_emb(cfg.in_dim, pos_cond)
+        emb = emb.astype(params["pos_cond_layer"]["l0"]["w"].dtype)
         return core.mlp2(params["pos_cond_layer"], emb, act)
 
     def classify(self, params, h):
@@ -143,7 +144,7 @@ class Transformer:
         h = core.embedding_lookup(params["dec_embedding"], x_dec)
         seq = h.shape[1]
         pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, seq + 1))
-        h = h + pos[None]
+        h = h + pos[None].astype(h.dtype)
 
         pos_cond_emb = None
         if cfg.use_pos_cond:
@@ -179,36 +180,51 @@ class Transformer:
                                  self.dec_block_cfg.act)
             for p in params["decoder_layers"]]
 
-    def prefill(self, params, tokens, caches, cross_kv=None):
+    def prefill(self, params, tokens, caches, cross_kv=None, pos_cond=None):
         """Run the prefix (N, P) through the decoder, filling KV caches.
 
-        Valid only when ``use_pos_cond`` is False (stable absolute
-        positions).  Returns (last-position logits (N, out_dim), caches).
+        Valid while positions are stable: always for non-sliding models;
+        for sliding-window models only before the window first slides (the
+        hybrid decode engine enforces this).  ``pos_cond`` is the (N, P)
+        absolute-position conditioning when ``use_pos_cond``.  Returns
+        (last-position logits (N, out_dim), caches).
         """
         cfg = self.cfg
         h = core.embedding_lookup(params["dec_embedding"], tokens)
         p = h.shape[1]
         pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, p + 1))
-        h = h + pos[None]
+        h = h + pos[None].astype(h.dtype)
+
+        pos_cond_emb = None
+        if cfg.use_pos_cond:
+            pos_cond_emb = self.pos_cond_embedding(params, pos_cond)
 
         new_caches = []
         for layer_params, cache, ckv in zip(
                 params["decoder_layers"], caches,
                 cross_kv or [None] * cfg.num_dec_layers):
             h, cache = blocks.transformer_block_prefill(
-                layer_params, self.dec_block_cfg, h, cache, cross_kv=ckv)
+                layer_params, self.dec_block_cfg, h, cache, cross_kv=ckv,
+                pos_cond=pos_cond_emb)
             new_caches.append(cache)
         return self.classify(params, h[:, -1:])[:, 0], new_caches
 
-    def decode_step(self, params, token, caches, index, cross_kv=None):
+    def decode_step(self, params, token, caches, index, cross_kv=None,
+                    pos_cond_value=None):
         """One-token decode: ``token`` (N,) at absolute position ``index``
-        (0-based; scalar, traced ok).  Returns (logits (N, out_dim),
-        caches)."""
+        (0-based; scalar, traced ok).  ``pos_cond_value`` is the scalar
+        absolute-position conditioning for this token when ``use_pos_cond``.
+        Returns (logits (N, out_dim), caches)."""
         cfg = self.cfg
         h = core.embedding_lookup(params["dec_embedding"], token[:, None])
         pos = sinusoidal_pos_emb(
             cfg.in_dim, jnp.asarray(index + 1, jnp.float32)[None])
-        h = h + pos[None]
+        h = h + pos[None].astype(h.dtype)
+
+        pos_cond_emb = None
+        if cfg.use_pos_cond:
+            pos_cond_emb = self.pos_cond_embedding(
+                params, jnp.asarray(pos_cond_value, jnp.float32)[None, None])
 
         new_caches = []
         for layer_params, cache, ckv in zip(
@@ -216,7 +232,7 @@ class Transformer:
                 cross_kv or [None] * cfg.num_dec_layers):
             h, cache = blocks.transformer_block_step(
                 layer_params, self.dec_block_cfg, h, cache, index,
-                cross_kv=ckv)
+                cross_kv=ckv, pos_cond=pos_cond_emb)
             new_caches.append(cache)
         return self.classify(params, h)[:, 0], new_caches
 
@@ -229,7 +245,7 @@ class Transformer:
         h = core.embedding_lookup(params["dec_embedding"], tokens)
         seq = h.shape[1]
         pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, seq + 1))
-        h = h + pos[None]
+        h = h + pos[None].astype(h.dtype)
 
         pos_cond_emb = None
         if cfg.use_pos_cond:

@@ -52,6 +52,59 @@ def test_cached_decode_matches_full_forward(rng, use_encoder):
                                    err_msg=f"step {i}")
 
 
+def test_hybrid_sliding_decode_matches_reference_semantics(rng):
+    """The hybrid engine (KV-cached until the first slide, then (W-1)-token
+    window recompute) must produce the same trajectory as a literal
+    re-enactment of the reference decode loop (full forward over the sliced
+    context each step, ``train_quantized_transformer.py:610-654``), given
+    the same RNG key schedule."""
+    import jax
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings, _sample
+
+    cfg = _small_cfg(use_encoder=True, use_pos_cond=True, out_dim=17,
+                     num_dec_embedding=17)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+
+    n, window, steps = 2, 6, 12
+    end_token = 16
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+    init = jnp.full((n, 1), end_token, jnp.int32)  # <start>
+    settings = SamplerSettings(temperature=1.0, end_token=end_token,
+                               end_mode="replace_zero", index_shift=0)
+
+    root = jax.random.PRNGKey(42)
+    engine = DecodeEngine(model)
+    got = np.asarray(engine.generate(params, init, steps, root, settings,
+                                     x_enc=x_enc, sliding_window=window))
+
+    # replicate the engine's key schedule
+    n_cached = window - 1
+    r1, seg = jax.random.split(root)
+    keys = list(jax.random.split(seg, n_cached)) + \
+        list(jax.random.split(r1, steps - n_cached))
+
+    # reference-semantics oracle: full forward over the sliced context
+    tokens = init
+    pos = jnp.zeros((n, 1), jnp.float32)
+    start_idx = 0
+    out = []
+    for s in range(steps):
+        if tokens.shape[1] >= window:
+            start_idx += 1
+            pos = pos[:, 1:]
+        win = tokens[:, start_idx:]
+        logits = model.apply(params, win, x_enc=x_enc, pos_cond=pos)[:, -1]
+        token, _ = _sample(logits, keys[s], settings)
+        out.append(np.asarray(token))
+        tokens = jnp.concatenate([tokens, token[:, None]], axis=1)
+        pos = jnp.concatenate(
+            [pos, jnp.full((n, 1), s + 1, jnp.float32)], axis=1)
+
+    want = np.stack(out, axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_window_forward_matches_apply(rng):
     cfg = _small_cfg(use_encoder=True, use_pos_cond=True)
     model = Transformer(cfg)
