@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Headline benchmark: full coarse-to-fine cascade image generation.
+
+Measures end-to-end images/sec/chip for the 3-stage cascade at
+reference-README-scale shapes: 1 -> 16 -> 64 -> 256 tokens over a 32x32x4
+latent, transformers with in_dim 512 / hidden 2048 / 7 decoder layers
+(5 encoder layers for cascade stages, sliding window 256 on the final
+stage), followed by codebook lookup + FC decode to 128x128x3 pixels.
+Weights are random (throughput does not depend on values); params run in
+bfloat16 on the MXU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the ratio against the 20 img/s/chip north-star target
+(BASELINE.md — the reference publishes no numbers).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from qaig_tpu.models.codebook import Codebook
+from qaig_tpu.models.conv_nets import FCDecoder, ConvNetConfig
+from qaig_tpu.models.transformer import Transformer, TransformerConfig
+from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+
+TARGET_IMG_PER_SEC = 20.0
+
+
+def to_bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+
+def build_cascade(scale="full", dtype=jnp.bfloat16):
+    """Stage descriptors: (transformer, params, engine, lr_cb, hr_cb,
+    settings, sliding_window)."""
+    if scale == "full":
+        in_dim, hidden, enc_l, dec_l, heads, k = 512, 2048, 5, 7, 8, 512
+        image_dim, latent_c = (32, 32), 4
+        patches = [(32, 32), (8, 8), (4, 4), (2, 2)]
+        dec_cfg = ConvNetConfig(num_layers=2, image_channel=3,
+                                min_channel=256, max_channel=512,
+                                latent_channel=latent_c)
+        sliding = {2: 256}
+    else:  # smoke scale for CPU runs
+        in_dim, hidden, enc_l, dec_l, heads, k = 64, 128, 2, 2, 4, 32
+        image_dim, latent_c = (8, 8), 2
+        patches = [(8, 8), (4, 4), (2, 2), (1, 1)]
+        dec_cfg = ConvNetConfig(num_layers=1, image_channel=3,
+                                min_channel=16, max_channel=32,
+                                latent_channel=latent_c)
+        sliding = {2: 16}
+
+    rng = jax.random.PRNGKey(0)
+    codebooks = []
+    for patch in patches:
+        rng, k_rng = jax.random.split(rng)
+        cb = Codebook(patch_dim=patch, image_dim=image_dim,
+                      image_channel=latent_c, num_embeddings=k,
+                      init_neighbour_range=1)
+        codebooks.append((cb, to_bf16(cb.init(k_rng))
+                          if dtype == jnp.bfloat16 else cb.init(k_rng)))
+
+    stages = []
+    for i in range(3):
+        lr_cb, hr_cb = codebooks[i], codebooks[i + 1]
+        base = i == 0
+        window = sliding.get(i)
+        cfg = TransformerConfig(
+            use_encoder=not base,
+            use_pos_cond=window is not None,
+            num_enc_layers=0 if base else enc_l,
+            num_dec_layers=dec_l,
+            num_enc_embedding=1 if base else k,
+            num_dec_embedding=2 * k if base else k + 1,
+            self_attn_heads=heads,
+            cross_attn_heads=0 if base else heads,
+            in_dim=in_dim,
+            out_dim=k + 1,
+            hidden_dim=hidden,
+            hidden_activation="silu")
+        model = Transformer(cfg)
+        rng, p_rng = jax.random.split(rng)
+        params = model.init(p_rng)
+        if dtype == jnp.bfloat16:
+            params = to_bf16(params)
+        settings = SamplerSettings(
+            temperature=1.0, end_token=k, end_mode="mask",
+            index_shift=k if base else 0)
+        stages.append(dict(model=model, params=params,
+                           engine=DecodeEngine(model), lr=lr_cb, hr=hr_cb,
+                           settings=settings, window=window,
+                           total_seq=hr_cb[0].seq_len, k=k, base=base))
+
+    decoder = FCDecoder(dec_cfg)
+    rng, d_rng = jax.random.split(rng)
+    dec_params = decoder.init(d_rng)
+    if dtype == jnp.bfloat16:
+        dec_params = to_bf16(dec_params)
+    return stages, decoder, dec_params
+
+
+def run_cascade(stages, decoder, dec_params, decode_jit, quant_jits,
+                num_images, rng):
+    """One full cascade: tokens through all stages, then pixels.  Returns
+    the final image batch (device array)."""
+    k = stages[0]["k"]
+    rng, init_rng = jax.random.split(rng)
+    tokens = jax.random.randint(init_rng, (num_images, 1), 0, k)
+
+    for i, st in enumerate(stages):
+        rng, gen_rng = jax.random.split(rng)
+        if st["base"]:
+            init, x_enc = tokens, None
+        else:
+            init = jnp.full((num_images, 1), st["k"], jnp.int32)
+            x_enc = tokens
+        out = st["engine"].generate(
+            st["params"], init, st["total_seq"], gen_rng, st["settings"],
+            x_enc=x_enc, sliding_window=st["window"])
+        tokens = out - st["settings"].index_shift
+
+    hr_cb, hr_params = stages[-1]["hr"]
+    quant = quant_jits(hr_params, tokens)
+    return decode_jit(dec_params, quant)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--scale", choices=["full", "smoke"], default="full")
+    args = parser.parse_args()
+
+    backend = jax.default_backend()
+    if backend == "cpu" and args.scale == "full":
+        args.scale = "smoke"
+
+    stages, decoder, dec_params = build_cascade(args.scale)
+    hr_cb = stages[-1]["hr"][0]
+    quant_jit = jax.jit(lambda p, idx: hr_cb.get_quantized_image(
+        p, idx).astype(jnp.bfloat16))
+    decode_jit = jax.jit(decoder.apply)
+
+    rng = jax.random.PRNGKey(7)
+
+    # warmup / compile
+    img = run_cascade(stages, decoder, dec_params, decode_jit, quant_jit,
+                      args.batch, rng)
+    _ = float(jnp.sum(img.astype(jnp.float32)))
+
+    # Fresh engines reuse their jit caches; time N full cascades chained on
+    # device, forcing execution with a single scalar fetch at the end
+    # (block_until_ready alone does not wait under the axon relay).
+    t0 = time.time()
+    acc = jnp.zeros((), jnp.float32)
+    for i in range(args.iters):
+        rng, it_rng = jax.random.split(rng)
+        img = run_cascade(stages, decoder, dec_params, decode_jit, quant_jit,
+                          args.batch, it_rng)
+        acc = acc + jnp.sum(img.astype(jnp.float32))
+    _ = float(acc)
+    elapsed = time.time() - t0
+
+    images = args.batch * args.iters
+    img_per_sec = images / elapsed
+    result = {
+        "metric": "cascade_images_per_sec_per_chip",
+        "value": round(img_per_sec, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / TARGET_IMG_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

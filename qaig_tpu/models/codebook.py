@@ -24,6 +24,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from qaig_tpu.ops.bmu import bmu_argmin
 from qaig_tpu.ops.patch import patchify, unpatchify
 
 
@@ -115,19 +116,6 @@ class Codebook:
             neighbourhood_range=neighbourhood_range)
         return unpatchify(quantized, image_dim=self.image_dim,
                           patch_dim=self.patch_dim)
-
-
-def bmu_argmin(patches, codes):
-    """L2-nearest code index per row.
-
-    ``argmin_k ||x - w_k||`` == ``argmin_k (||w_k||^2 - 2 x.w_k)``; the
-    expansion turns the distance search into a single MXU matmul plus a
-    row-wise reduction that XLA fuses.
-    """
-    code_sq = jnp.sum(codes * codes, axis=-1)  # (K,)
-    scores = patches @ codes.T  # (M, K) — the hot matmul
-    dist = code_sq[None, :] - 2.0 * scores
-    return jnp.argmin(dist, axis=-1)
 
 
 def gaussian_neighbourhood(bmu, num_embeddings, neighbourhood_range):

@@ -1,0 +1,83 @@
+"""Pallas TPU kernel: fused BMU (best-matching-unit) search.
+
+The codebook hot op (reference ``models/Codebook.py:86-94`` =
+``torch.cdist`` + ``argmin``) reformulated for the MXU: per tile of patch
+rows, compute ``scores = patches @ codes^T`` on the MXU and reduce
+``argmin_k (||w_k||^2 - 2 scores)`` in VMEM — the (M, K) distance matrix
+never touches HBM (the XLA fallback materializes it).
+
+The codebook (K, D) is small (K <= a few thousand, D = C*pH*pW) and is
+broadcast to every grid step in VMEM.  Rows are tiled at 256; callers pad M
+to a tile multiple (padded rows are dropped).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ROW_TILE = 256
+
+
+def _bmu_kernel(patches_ref, codes_ref, code_sq_ref, out_ref):
+    patches = patches_ref[:]                       # (TM, D)
+    codes = codes_ref[:]                           # (K, D)
+    scores = jax.lax.dot_general(
+        patches, codes,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (TM, K)
+    dist = code_sq_ref[:] - 2.0 * scores           # (TM, K)
+    out_ref[:] = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bmu(patches, codes, interpret=False):
+    """(M, D) patches x (K, D) codes -> (M,) int32 BMU indices."""
+    m, d = patches.shape
+    k = codes.shape[0]
+    m_pad = (m + ROW_TILE - 1) // ROW_TILE * ROW_TILE
+    if m_pad != m:
+        patches = jnp.pad(patches, ((0, m_pad - m), (0, 0)))
+
+    code_sq = jnp.sum(
+        codes.astype(jnp.float32) * codes.astype(jnp.float32), axis=-1)
+
+    grid = (m_pad // ROW_TILE,)
+    out = pl.pallas_call(
+        _bmu_kernel,
+        out_shape=jax.ShapeDtypeStruct((m_pad,), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROW_TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k,), lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_TILE,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * d,
+            bytes_accessed=m_pad * d * 4 + k * d * 4 + m_pad * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(patches, codes, code_sq)
+    return out[:m]
+
+
+def bmu_argmin_xla(patches, codes):
+    """XLA fallback: same math, (M, K) distance matrix materialized."""
+    code_sq = jnp.sum(codes * codes, axis=-1)
+    scores = patches @ codes.T
+    dist = code_sq[None, :] - 2.0 * scores
+    return jnp.argmin(dist, axis=-1)
+
+
+def bmu_argmin(patches, codes):
+    """Dispatch: Pallas kernel on TPU, XLA elsewhere."""
+    if jax.default_backend() == "tpu":
+        return fused_bmu(patches, codes)
+    return bmu_argmin_xla(patches, codes)

@@ -1,0 +1,93 @@
+"""Sharded training on the virtual 8-device CPU mesh.
+
+DP and DP+TP runs of the transformer train step must match the
+single-device result (same math, different layout).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from qaig_tpu.models.codebook import Codebook
+from qaig_tpu.models.transformer import Transformer, TransformerConfig
+from qaig_tpu.parallel.mesh import make_mesh
+from qaig_tpu.parallel.sharding import (batch_sharding, shard_tree,
+                                        transformer_param_spec)
+from qaig_tpu.train.optim import make_adam
+from qaig_tpu.train.transformer import make_train_step
+
+
+def _setup(sliding_window=None):
+    lr_cb = Codebook(patch_dim=(8, 8), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=8, init_neighbour_range=4)
+    hr_cb = Codebook(patch_dim=(2, 2), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=16, init_neighbour_range=8)
+    cfg = TransformerConfig(
+        use_encoder=True, use_pos_cond=sliding_window is not None,
+        num_enc_layers=1, num_dec_layers=2, num_enc_embedding=8,
+        num_dec_embedding=17, self_attn_heads=2, cross_attn_heads=2,
+        in_dim=16, out_dim=17, hidden_dim=32, hidden_activation="silu")
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_adam(1e-3, 100)
+    opt_state = optimizer.init(params)
+    lr_params = lr_cb.init(jax.random.PRNGKey(1))
+    hr_params = hr_cb.init(jax.random.PRNGKey(2))
+    step = make_train_step(model, optimizer, lr_cb, hr_cb,
+                           train_base_model=False, lr_num_embeddings=8,
+                           hr_num_embeddings=16,
+                           sliding_window=sliding_window)
+    return step, params, opt_state, lr_params, hr_params
+
+
+def test_dp_tp_matches_single_device(rng):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    batch = 8
+    fmap = jnp.asarray(rng.standard_normal((batch, 2, 8, 8)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    step, params, opt_state, lr_params, hr_params = _setup()
+    ref_params, _, ref_loss = step(params, opt_state,
+                                   (lr_params, hr_params), fmap, key)
+    ref_loss = float(ref_loss)
+    ref_leaf = np.asarray(
+        ref_params["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"])
+
+    for n_data, n_model in ((8, 1), (4, 2)):
+        # make_train_step donates its inputs; rebuild fresh state per mesh
+        step_i, params_i, opt_i, lr_p, hr_p = _setup()
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        with mesh:
+            spec = transformer_param_spec(params_i)
+            params_s = shard_tree(mesh, params_i, spec)
+            opt_s = jax.device_put(opt_i, NamedSharding(mesh, P()))
+            lr_s = jax.device_put(lr_p, NamedSharding(mesh, P()))
+            hr_s = jax.device_put(hr_p, NamedSharding(mesh, P()))
+            fmap_s = jax.device_put(fmap, batch_sharding(mesh, ndim=4))
+            new_params, _, loss = step_i(params_s, opt_s, (lr_s, hr_s),
+                                         fmap_s, key)
+        assert abs(float(loss) - ref_loss) < 1e-5, (n_data, n_model)
+        got_leaf = np.asarray(
+            new_params["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"])
+        np.testing.assert_allclose(got_leaf, ref_leaf, atol=1e-5,
+                                   err_msg=f"mesh {n_data}x{n_model}")
+
+
+def test_sliding_window_step_on_mesh(rng):
+    """Windowed training step compiles and runs sharded."""
+    step, params, opt_state, lr_params, hr_params = _setup(sliding_window=8)
+    mesh = make_mesh(n_data=4, n_model=2)
+    batch = 8
+    fmap = jnp.asarray(rng.standard_normal((batch, 2, 8, 8)), jnp.float32)
+    with mesh:
+        spec = transformer_param_spec(params)
+        params = shard_tree(mesh, params, spec)
+        opt_state = jax.device_put(opt_state, NamedSharding(mesh, P()))
+        lr_params = jax.device_put(lr_params, NamedSharding(mesh, P()))
+        hr_params = jax.device_put(hr_params, NamedSharding(mesh, P()))
+        fmap = jax.device_put(fmap, batch_sharding(mesh, ndim=4))
+        _, _, loss = step(params, opt_state, (lr_params, hr_params), fmap,
+                          jax.random.PRNGKey(4))
+    assert np.isfinite(float(loss))

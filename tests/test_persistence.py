@@ -1,0 +1,116 @@
+"""Manifests, checkpoint round-trips, tolerant restore, optimizer schedule."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qaig_tpu.data.manifest import Manifest, write_manifest
+from qaig_tpu.utils.checkpoint import (save_model, load_model, flatten_tree,
+                                       unflatten_tree, tolerant_restore)
+from qaig_tpu.train.optim import make_adam, current_lr, halving_schedule
+
+
+def test_manifest_roundtrip(tmp_path):
+    rows = [{"image_fpath": f"/x/{i}.png", "labels": []} for i in range(5)]
+    path = tmp_path / "dataset.json"
+    write_manifest(path, rows)
+    m = Manifest(path)
+    assert len(m) == 5
+    assert m[3]["image_fpath"] == "/x/3.png"
+    # TinyDB layout on disk
+    import json
+    raw = json.load(open(path))
+    assert set(raw) == {"_default"}
+    assert raw["_default"]["1"]["image_fpath"] == "/x/0.png"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": {"b": jnp.arange(6).reshape(2, 3).astype(jnp.float32)},
+            "meta": 7, "name": "x",
+            "lst": [jnp.zeros(2), jnp.ones(3)]}
+    assert save_model(tree, tmp_path, "ck.pt")
+    ok, loaded = load_model(tmp_path / "models_checkpoint" / "ck.pt")
+    assert ok
+    np.testing.assert_array_equal(loaded["a"]["b"],
+                                  np.arange(6).reshape(2, 3))
+    assert loaded["meta"] == 7 and loaded["name"] == "x"
+    np.testing.assert_array_equal(loaded["lst"][1], np.ones(3))
+
+
+def test_flatten_unflatten():
+    tree = {"a": [{"w": jnp.zeros((2,))}, {"w": jnp.ones((3,))}],
+            "b": {"c": jnp.full((1,), 5.0)}}
+    flat = flatten_tree(tree)
+    assert set(flat) == {"a.0.w", "a.1.w", "b.c"}
+    rebuilt = unflatten_tree(flat, like=tree)
+    np.testing.assert_array_equal(rebuilt["a"][1]["w"], np.ones(3))
+
+
+def test_tolerant_restore_skips_mismatches():
+    target = {"x": {"w": jnp.zeros((2, 2)), "b": jnp.zeros((2,))},
+              "y": {"w": jnp.zeros((3,))}}
+    msgs = []
+    source = {
+        "x.w": np.ones((2, 2)),          # restored
+        "x.b": np.ones((5,)),            # shape mismatch -> skipped
+        "ghost.w": np.ones((1,)),        # unknown key -> skipped
+    }
+    out = tolerant_restore(target, source, logging=msgs.append)
+    np.testing.assert_array_equal(np.asarray(out["x"]["w"]), np.ones((2, 2)))
+    np.testing.assert_array_equal(np.asarray(out["x"]["b"]), np.zeros(2))
+    np.testing.assert_array_equal(np.asarray(out["y"]["w"]), np.zeros(3))
+    assert any("Skipped: x.b" in m for m in msgs)
+    assert any("ghost.w" in m for m in msgs)
+
+
+def test_tolerant_restore_key_map():
+    target = {"layers": [{"w": jnp.zeros((2,))}]}
+    source = {"old_prefix.layers.0.w": np.ones((2,))}
+    out = tolerant_restore(
+        target, source,
+        key_map=lambda k: k.replace("old_prefix.", ""))
+    np.testing.assert_array_equal(np.asarray(out["layers"][0]["w"]),
+                                  np.ones(2))
+
+
+def test_lr_halving_schedule_matches_reference_semantics():
+    """Reference halves *after* the update at steps k*lr_step (k>=1); so the
+    update at count c runs at lr0 * 0.5**((c-1)//lr_step) for c >= 1."""
+    lr0, lr_step = 1.0, 3
+    sched = halving_schedule(lr0, lr_step)
+    # reference simulation
+    lr = lr0
+    want = []
+    for g in range(10):
+        want.append(lr)
+        if g % lr_step == 0 and g > 0:
+            lr *= 0.5
+    got = [float(sched(c)) for c in range(10)]
+    assert got == want
+    assert [current_lr(lr0, lr_step, c) for c in range(10)] == want
+
+
+def test_optimizer_matches_torch_adam(rng):
+    """One Adam(0.5, 0.999) update must match torch.optim.Adam."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    g = rng.standard_normal((4, 3)).astype(np.float32)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([tw], lr=1e-3, betas=(0.5, 0.999))
+    tw.grad = torch.from_numpy(g.copy())
+    opt.step()
+    opt.step()  # second update with same grad
+    want = tw.detach().numpy()
+
+    import optax
+    optimizer = make_adam(1e-3)
+    params = {"w": jnp.asarray(w0)}
+    state = optimizer.init(params)
+    for _ in range(2):
+        updates, state = optimizer.update({"w": jnp.asarray(g)}, state,
+                                          params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), want, atol=1e-6)
