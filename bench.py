@@ -106,15 +106,15 @@ def build_cascade(scale="full", dtype=jnp.bfloat16):
     return stages, decoder, dec_params
 
 
-def run_cascade(stages, decoder, dec_params, decode_jit, quant_jits,
-                num_images, rng):
-    """One full cascade: tokens through all stages, then pixels.  Returns
-    the final image batch (device array)."""
+def run_cascade(stages, decoder, dec_params, num_images, stage_params, rng):
+    """One full cascade: tokens through all stages, then pixels.  Pure in
+    its array arguments so the whole cascade jits into ONE program (a single
+    device dispatch per generated batch)."""
     k = stages[0]["k"]
     rng, init_rng = jax.random.split(rng)
     tokens = jax.random.randint(init_rng, (num_images, 1), 0, k)
 
-    for i, st in enumerate(stages):
+    for st, params in zip(stages, stage_params):
         rng, gen_rng = jax.random.split(rng)
         if st["base"]:
             init, x_enc = tokens, None
@@ -122,20 +122,22 @@ def run_cascade(stages, decoder, dec_params, decode_jit, quant_jits,
             init = jnp.full((num_images, 1), st["k"], jnp.int32)
             x_enc = tokens
         out = st["engine"].generate(
-            st["params"], init, st["total_seq"], gen_rng, st["settings"],
+            params, init, st["total_seq"], gen_rng, st["settings"],
             x_enc=x_enc, sliding_window=st["window"])
         tokens = out - st["settings"].index_shift
 
     hr_cb, hr_params = stages[-1]["hr"]
-    quant = quant_jits(hr_params, tokens)
-    return decode_jit(dec_params, quant)
+    quant = hr_cb.get_quantized_image(hr_params, tokens).astype(jnp.bfloat16)
+    return decoder.apply(dec_params, quant)
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--scale", choices=["full", "smoke"], default="full")
+    parser.add_argument("--breakdown", action="store_true",
+                        help="print per-stage timings to stderr")
     args = parser.parse_args()
 
     backend = jax.default_backend()
@@ -143,17 +145,47 @@ def main():
         args.scale = "smoke"
 
     stages, decoder, dec_params = build_cascade(args.scale)
-    hr_cb = stages[-1]["hr"][0]
-    quant_jit = jax.jit(lambda p, idx: hr_cb.get_quantized_image(
-        p, idx).astype(jnp.bfloat16))
-    decode_jit = jax.jit(decoder.apply)
+    stage_params = [st["params"] for st in stages]
+
+    # ONE jitted program for the whole cascade: a single device dispatch per
+    # batch (per-stage dispatch round-trips dominate otherwise).
+    cascade = jax.jit(
+        lambda sp, dp, rng: run_cascade(stages, decoder, dp, args.batch,
+                                        sp, rng))
 
     rng = jax.random.PRNGKey(7)
 
     # warmup / compile
-    img = run_cascade(stages, decoder, dec_params, decode_jit, quant_jit,
-                      args.batch, rng)
+    img = cascade(stage_params, dec_params, rng)
     _ = float(jnp.sum(img.astype(jnp.float32)))
+
+    if args.breakdown:
+        import sys
+        k = stages[0]["k"]
+        rng2, init_rng = jax.random.split(rng)
+        tokens = jax.random.randint(init_rng, (args.batch, 1), 0, k)
+        for i, st in enumerate(stages):
+            rng2, gen_rng = jax.random.split(rng2)
+            if st["base"]:
+                init, x_enc = tokens, None
+            else:
+                init = jnp.full((args.batch, 1), st["k"], jnp.int32)
+                x_enc = tokens
+            t0 = time.time()
+            out = st["engine"].generate(
+                st["params"], init, st["total_seq"], gen_rng, st["settings"],
+                x_enc=x_enc, sliding_window=st["window"])
+            _ = float(jnp.sum(out))
+            print(f"stage{i}: {st['total_seq']} tokens "
+                  f"{time.time() - t0:.3f}s", file=sys.stderr)
+            tokens = out - st["settings"].index_shift
+        t0 = time.time()
+        hr_cb_m, hr_params = stages[-1]["hr"]
+        quant = hr_cb_m.get_quantized_image(hr_params, tokens)
+        img = jax.jit(decoder.apply)(dec_params,
+                                     quant.astype(jnp.bfloat16))
+        _ = float(jnp.sum(img.astype(jnp.float32)))
+        print(f"pixel decode: {time.time() - t0:.3f}s", file=sys.stderr)
 
     # Fresh engines reuse their jit caches; time N full cascades chained on
     # device, forcing execution with a single scalar fetch at the end
@@ -162,8 +194,7 @@ def main():
     acc = jnp.zeros((), jnp.float32)
     for i in range(args.iters):
         rng, it_rng = jax.random.split(rng)
-        img = run_cascade(stages, decoder, dec_params, decode_jit, quant_jit,
-                          args.batch, it_rng)
+        img = cascade(stage_params, dec_params, it_rng)
         acc = acc + jnp.sum(img.astype(jnp.float32))
     _ = float(acc)
     elapsed = time.time() - t0

@@ -23,6 +23,23 @@ class FeatureMapDataset:
         self.manifest = Manifest(dataset_path)
         if len(self.manifest) == 0:
             raise ValueError("No data found.")
+        self._item_shape = None
+
+    def load_batch(self, indices):
+        """Native threaded batch load (plain-fmap mode only); returns None
+        to signal the per-item fallback."""
+        if self.load_image or self.return_filepaths:
+            return None
+        from qaig_tpu import native
+        if not native.AVAILABLE:
+            return None
+        if self._item_shape is None:
+            self._item_shape = self[indices[0]].shape
+        paths = [self.manifest[i]["fmap_path"] for i in indices]
+        try:
+            return native.load_npy_batch(paths, self._item_shape)
+        except Exception:
+            return None
 
     def __len__(self):
         return len(self.manifest)

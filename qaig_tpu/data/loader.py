@@ -55,9 +55,16 @@ class DataLoader:
         sentinel = object()
         error = []
 
+        load_batch = getattr(self.dataset, "load_batch", None)
+
         def worker():
             try:
                 for idx_batch in self._batch_indices():
+                    if load_batch is not None:
+                        batch = load_batch([int(i) for i in idx_batch])
+                        if batch is not None:
+                            q.put(batch)
+                            continue
                     samples = [self.dataset[int(i)] for i in idx_batch]
                     q.put(_stack(samples))
             except BaseException as e:  # surfaced on the consumer side

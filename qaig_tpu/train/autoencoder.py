@@ -80,8 +80,10 @@ def checkpoint_dict(cfg, params, opt_state):
 def run(args):
     """``args`` mirrors the reference CLI flags (dict)."""
     common.select_platform(args.get("device"))
+    common.apply_debug_flags(args)
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME)
+    profiler = common.Profiler(args)
 
     config_dict = common.load_config(args["config_path"])
     model_lr = config_dict["model_lr"]
@@ -149,6 +151,7 @@ def run(args):
         total_recon_loss = 0.0
         iteration_count = 0
         for index, image in enumerate(loader):
+            profiler.step(global_steps)
             batch = jax.device_put(jnp.asarray(image), data_sharding)
             params, opt_state, loss = train_step(params, opt_state, batch)
             loss = float(loss)
@@ -183,4 +186,5 @@ def run(args):
                 break
         if stop:
             break
+    profiler.close()
     return params, opt_state

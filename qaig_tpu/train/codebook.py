@@ -53,8 +53,10 @@ def checkpoint_dict(model, params, global_steps):
 
 def run(args):
     common.select_platform(args.get("device"))
+    common.apply_debug_flags(args)
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME)
+    profiler = common.Profiler(args)
 
     config_dict = common.load_config(args["config_path"])
     model_lr = config_dict["model_lr"]
@@ -131,6 +133,7 @@ def run(args):
         iteration_count = 0
         total_recon_loss = 0.0
         for index, feature_map in enumerate(loader):
+            profiler.step(global_steps)
             batch = jax.device_put(jnp.asarray(feature_map), data_sharding)
             nrange = jnp.asarray(model.neighbourhood_range, jnp.float32)
             params, opt_state, loss = train_step(params, opt_state, batch,
@@ -173,4 +176,5 @@ def run(args):
                 break
         if stop:
             break
+    profiler.close()
     return model, params

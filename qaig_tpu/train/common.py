@@ -26,6 +26,44 @@ def select_platform(device):
         jax.config.update("jax_platforms", "cpu")
 
 
+def apply_debug_flags(args):
+    """--debug-nans: jax-native equivalent of the reference's NaN guard,
+    failing at the op that produced the NaN instead of at the loss check
+    (SURVEY §5 aux-subsystems plan)."""
+    if args.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+
+
+class Profiler:
+    """Optional jax.profiler tracing over a window of train steps.
+
+    ``--profile-dir d [--profile-start s --profile-steps n]`` captures steps
+    [s, s+n) into a TensorBoard-loadable trace (the reference has no
+    profiling at all; SURVEY §5).
+    """
+
+    def __init__(self, args):
+        self.dir = args.get("profile_dir")
+        self.start = args.get("profile_start", 5)
+        self.steps = args.get("profile_steps", 5)
+        self.active = False
+
+    def step(self, global_step):
+        if not self.dir:
+            return
+        if global_step == self.start and not self.active:
+            jax.profiler.start_trace(str(self.dir))
+            self.active = True
+        elif self.active and global_step >= self.start + self.steps:
+            jax.profiler.stop_trace()
+            self.active = False
+
+    def close(self):
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+
+
 def model_state_dict(params):
     """Flat dotted-path numpy state (the checkpoint 'model' entry)."""
     return {k: np.asarray(v) for k, v in flatten_tree(params).items()}

@@ -186,8 +186,10 @@ def generate_preview_tokens(engine, params, feature_map, lr_codebook,
 
 def run(args):
     common.select_platform(args.get("device"))
+    common.apply_debug_flags(args)
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME)
+    profiler = common.Profiler(args)
 
     config_dict = common.load_config(args["config_path"])
     model_lr = config_dict["model_lr"]
@@ -319,6 +321,7 @@ def run(args):
         total_loss = 0.0
         iteration_count = 0
         for index, feature_map in enumerate(loader):
+            profiler.step(global_steps)
             batch = jax.device_put(jnp.asarray(feature_map), data_sharding)
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss = train_step(
@@ -381,4 +384,5 @@ def run(args):
                 break
         if stop:
             break
+    profiler.close()
     return model, params

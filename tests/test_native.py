@@ -1,0 +1,60 @@
+"""Native C++ data-plane library: batch .npy load + image normalization."""
+
+import numpy as np
+import pytest
+
+from qaig_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.AVAILABLE,
+                                reason="native toolchain unavailable")
+
+
+def test_load_npy_batch(tmp_path, rng):
+    shape = (2, 4, 4)
+    arrays, paths = [], []
+    for i in range(6):
+        a = rng.standard_normal(shape).astype(np.float32)
+        p = str(tmp_path / f"{i}.npy")
+        with open(p, "wb") as f:
+            np.save(f, a, allow_pickle=False)
+        arrays.append(a)
+        paths.append(p)
+
+    out = native.load_npy_batch(paths, shape, num_threads=3)
+    np.testing.assert_array_equal(out, np.stack(arrays))
+
+
+def test_load_npy_batch_bad_shape(tmp_path, rng):
+    p = str(tmp_path / "x.npy")
+    with open(p, "wb") as f:
+        np.save(f, rng.standard_normal((3, 3)).astype(np.float32))
+    with pytest.raises(IOError):
+        native.load_npy_batch([p], (2, 2))
+
+
+def test_normalize_images(rng):
+    batch = rng.integers(0, 256, (3, 5, 7, 3), dtype=np.uint8)
+    got = native.normalize_images(batch)
+    want = ((batch.astype(np.float32) - 127.5) / 127.5).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_dataset_native_batch_matches_python(tmp_path, rng):
+    from qaig_tpu.data.manifest import write_manifest
+    from qaig_tpu.data.fmap_dataset import FeatureMapDataset
+
+    rows = []
+    for i in range(5):
+        a = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        p = str(tmp_path / f"f{i}")
+        with open(p, "wb") as f:
+            np.save(f, a, allow_pickle=False)
+        rows.append({"fmap_path": p, "image_path": "n/a"})
+    manifest = str(tmp_path / "m.json")
+    write_manifest(manifest, rows)
+
+    ds = FeatureMapDataset(manifest)
+    batch = ds.load_batch([3, 1, 4])
+    assert batch is not None
+    want = np.stack([ds[3], ds[1], ds[4]])
+    np.testing.assert_array_equal(batch, want)

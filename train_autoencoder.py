@@ -27,6 +27,12 @@ def main():
     parser.add_argument("--max-steps", type=int, default=None,
                         help="Optional hard step cap (smoke runs).")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="Enable jax_debug_nans (fail at the faulty op).")
+    parser.add_argument("--profile-dir", default=None, type=pathlib.Path,
+                        help="Capture a jax.profiler trace window here.")
+    parser.add_argument("--profile-start", type=int, default=5)
+    parser.add_argument("--profile-steps", type=int, default=5)
     parser.add_argument("--config-path", required=True, type=pathlib.Path)
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
     args = vars(parser.parse_args())

@@ -21,6 +21,12 @@ def main():
     parser.add_argument("--max-epoch", type=int, default=1_000)
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="Enable jax_debug_nans (fail at the faulty op).")
+    parser.add_argument("--profile-dir", default=None, type=pathlib.Path,
+                        help="Capture a jax.profiler trace window here.")
+    parser.add_argument("--profile-start", type=int, default=5)
+    parser.add_argument("--profile-steps", type=int, default=5)
     parser.add_argument("-c", "--config-path", required=True,
                         type=pathlib.Path)
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
