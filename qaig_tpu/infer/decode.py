@@ -41,6 +41,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
+from qaig_tpu.infer import fast_step
+
 
 @dataclass(frozen=True)
 class SamplerSettings:
@@ -153,6 +155,8 @@ class DecodeEngine:
 
         def build():
             def fn(params, arrays, rng):
+                packed = model.pack_decode(params)
+
                 def body(carry, step_rng):
                     logits, caches, index, ctx, logp = carry
                     token, p = _sample(logits, step_rng, settings)
@@ -164,7 +168,8 @@ class DecodeEngine:
                     pos_val = index if use_pos else None
                     logits, caches = model.decode_step(
                         params, token, caches, index,
-                        cross_kv=arrays["cross_kv"], pos_cond_value=pos_val)
+                        cross_kv=arrays["cross_kv"], pos_cond_value=pos_val,
+                        packed=packed)
                     return ((logits, caches, index + 1, ctx,
                              logp + jnp.log(jnp.maximum(p, 1e-38))), token)
 

@@ -125,6 +125,32 @@ def project_kv(params, x, act):
     return core.mlp2(params["k"], x, act), core.mlp2(params["v"], x, act)
 
 
+def pack_qkv(attn_params):
+    """Fuse the three 2-layer Q/K/V MLPs for the decode hot path: one
+    (D, 3H) matmul for the first layers (identical input) and one batched
+    (3, H, D) matmul for the second.  Exactly the same math, 6 matmuls -> 2
+    per layer per decode step (decode is launch/bandwidth bound)."""
+    l0w = jnp.concatenate(
+        [attn_params[k]["l0"]["w"] for k in ("q", "k", "v")], axis=1)
+    l0b = jnp.concatenate(
+        [attn_params[k]["l0"]["b"] for k in ("q", "k", "v")], axis=0)
+    l1w = jnp.stack([attn_params[k]["l1"]["w"] for k in ("q", "k", "v")])
+    l1b = jnp.stack([attn_params[k]["l1"]["b"] for k in ("q", "k", "v")])
+    return {"l0w": l0w, "l0b": l0b, "l1w": l1w, "l1b": l1b}
+
+
+def packed_qkv(packed, x, act):
+    """(N, P, D) -> (q, k, v) each (N, P, D) via the packed projections."""
+    n, p, _ = x.shape
+    hidden = packed["l1w"].shape[1]
+    h = act(x @ packed["l0w"] + packed["l0b"])          # (N, P, 3H)
+    h = h.reshape(n, p, 3, hidden).transpose(2, 0, 1, 3)  # (3, N, P, H)
+    out = jnp.einsum("snph,shd->snpd", h, packed["l1w"],
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out + packed["l1b"][:, None, None].astype(x.dtype)
+    return out[0], out[1], out[2]
+
+
 # ---------------------------------------------------------------------------
 # Self-attention block (reference models/layers.py:478-534)
 # ---------------------------------------------------------------------------
@@ -149,20 +175,25 @@ def self_attn_block(params, cfg: BlockConfig, x, cond=None):
     return residual(params["res"], x, x0, cond, cfg.act)
 
 
-def self_attn_block_step(params, cfg: BlockConfig, x, cond, cache, index):
+def self_attn_block_step(params, cfg: BlockConfig, x, cond, cache, index,
+                         packed=None):
     """Single-token decode through the self-attention block.
 
     Args:
       x: (N, 1, D) new-token residual stream.
       cache: {"k": (N, S_max, D), "v": (N, S_max, D)} KV ring for this block.
       index: scalar — number of tokens already cached (write position).
+      packed: optional :func:`pack_qkv` output for the fused projections.
 
     Returns (out (N, 1, D), updated cache).
     """
     x0 = x
     x = block_norm(params["norm"], cfg, x, cond)
-    q = project_q(params["attn"], x, cfg.act)
-    k_new, v_new = project_kv(params["attn"], x, cfg.act)
+    if packed is not None:
+        q, k_new, v_new = packed_qkv(packed, x, cfg.act)
+    else:
+        q = project_q(params["attn"], x, cfg.act)
+        k_new, v_new = project_kv(params["attn"], x, cfg.act)
     k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, index, 1)
     v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, index, 1)
     s_max = k_cache.shape[1]
@@ -254,11 +285,11 @@ def transformer_block(params, cfg: BlockConfig, x, cross_cond=None,
 
 
 def transformer_block_step(params, cfg: BlockConfig, x, cache, index,
-                           cross_kv=None, pos_cond=None):
+                           cross_kv=None, pos_cond=None, packed=None):
     """Single-token decode through a full block (self KV-cached, cross K/V
     precomputed)."""
     x, self_cache = self_attn_block_step(
-        params["self_attn"], cfg, x, pos_cond, cache, index)
+        params["self_attn"], cfg, x, pos_cond, cache, index, packed=packed)
     if cfg.use_cross_attn:
         x = cross_attn_block(params["cross_attn"], cfg, x, None,
                              cond=pos_cond, precomputed_kv=cross_kv)

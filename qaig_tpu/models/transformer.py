@@ -209,8 +209,15 @@ class Transformer:
             new_caches.append(cache)
         return self.classify(params, h[:, -1:])[:, 0], new_caches
 
+    def pack_decode(self, params):
+        """Per-layer fused QKV projections for the decode hot path (see
+        :func:`qaig_tpu.models.blocks.pack_qkv`).  Computed once per decode
+        segment; loop-invariant inside the scan."""
+        return [blocks.pack_qkv(p["self_attn"]["attn"])
+                for p in params["decoder_layers"]]
+
     def decode_step(self, params, token, caches, index, cross_kv=None,
-                    pos_cond_value=None):
+                    pos_cond_value=None, packed=None):
         """One-token decode: ``token`` (N,) at absolute position ``index``
         (0-based; scalar, traced ok).  ``pos_cond_value`` is the scalar
         absolute-position conditioning for this token when ``use_pos_cond``.
@@ -227,12 +234,13 @@ class Transformer:
                 params, jnp.asarray(pos_cond_value, jnp.float32)[None, None])
 
         new_caches = []
-        for layer_params, cache, ckv in zip(
+        packed = packed or [None] * cfg.num_dec_layers
+        for layer_params, cache, ckv, pk in zip(
                 params["decoder_layers"], caches,
-                cross_kv or [None] * cfg.num_dec_layers):
+                cross_kv or [None] * cfg.num_dec_layers, packed):
             h, cache = blocks.transformer_block_step(
                 layer_params, self.dec_block_cfg, h, cache, index,
-                cross_kv=ckv, pos_cond=pos_cond_emb)
+                cross_kv=ckv, pos_cond=pos_cond_emb, packed=pk)
             new_caches.append(cache)
         return self.classify(params, h)[:, 0], new_caches
 
