@@ -23,6 +23,22 @@ import jax.numpy as jnp
 
 NEG_INF = float("-inf")
 
+_FLASH_ENABLED = None
+
+
+def use_flash_default():
+    """Fused Pallas attention on TPU (overridable for A/B testing via
+    ``set_flash_enabled``)."""
+    global _FLASH_ENABLED
+    if _FLASH_ENABLED is None:
+        _FLASH_ENABLED = jax.default_backend() == "tpu"
+    return _FLASH_ENABLED
+
+
+def set_flash_enabled(value):
+    global _FLASH_ENABLED
+    _FLASH_ENABLED = value
+
 
 def split_heads(x, heads):
     """(N, S, D) -> (N, H, S, D/H)."""
@@ -51,6 +67,11 @@ def dot_product_attention(q, k, v, heads, causal=False, kv_mask=None,
 
     Returns (N, Sq, D).
     """
+    if use_flash_default():
+        from qaig_tpu.ops import flash_attention as fa
+        if fa.supported(q, k, v, heads, causal, kv_mask, q_offset):
+            return fa.flash_attention(q, k, v, heads, causal=causal)
+
     n, sq, d = q.shape
     sk = k.shape[1]
     dh = d // heads
