@@ -7,8 +7,9 @@ rows, compute ``scores = patches @ codes^T`` on the MXU and reduce
 never touches HBM (the XLA fallback materializes it).
 
 The codebook (K, D) is small (K <= a few thousand, D = C*pH*pW) and is
-broadcast to every grid step in VMEM.  Rows are tiled at 256; callers pad M
-to a tile multiple (padded rows are dropped).
+broadcast to every grid step in VMEM.  Rows are tiled at 1024 and the int32
+index output is shaped (M/128, 128) so both ends satisfy TPU (8, 128) tile
+layouts; callers pad M to a tile multiple (padded rows are dropped).
 """
 
 import functools
@@ -18,7 +19,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROW_TILE = 256
+ROW_TILE = 1024
+_LANES = 128
 
 
 def _bmu_kernel(patches_ref, codes_ref, code_sq_ref, out_ref):
@@ -29,7 +31,8 @@ def _bmu_kernel(patches_ref, codes_ref, code_sq_ref, out_ref):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # (TM, K)
     dist = code_sq_ref[:] - 2.0 * scores           # (TM, K)
-    out_ref[:] = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    bmu = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    out_ref[:] = bmu.reshape(ROW_TILE // _LANES, _LANES)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -44,10 +47,11 @@ def fused_bmu(patches, codes, interpret=False):
     code_sq = jnp.sum(
         codes.astype(jnp.float32) * codes.astype(jnp.float32), axis=-1)
 
+    rows_per_tile = ROW_TILE // _LANES
     grid = (m_pad // ROW_TILE,)
     out = pl.pallas_call(
         _bmu_kernel,
-        out_shape=jax.ShapeDtypeStruct((m_pad,), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((m_pad // _LANES, _LANES), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((ROW_TILE, d), lambda i: (i, 0),
@@ -57,7 +61,7 @@ def fused_bmu(patches, codes, interpret=False):
             pl.BlockSpec((k,), lambda i: (0,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROW_TILE,), lambda i: (i,),
+        out_specs=pl.BlockSpec((rows_per_tile, _LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * d,
@@ -65,7 +69,7 @@ def fused_bmu(patches, codes, interpret=False):
             transcendentals=0),
         interpret=interpret,
     )(patches, codes, code_sq)
-    return out[:m]
+    return out.reshape(m_pad)[:m]
 
 
 def bmu_argmin_xla(patches, codes):
