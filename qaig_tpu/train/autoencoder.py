@@ -84,6 +84,7 @@ def run(args):
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME)
     profiler = common.Profiler(args)
+    metrics = common.MetricsLogger(out_dir)
 
     config_dict = common.load_config(args["config_path"])
     model_lr = config_dict["model_lr"]
@@ -180,6 +181,8 @@ def run(args):
                 "Recon Loss: {:.5f}".format(
                     global_steps + 1, index + 1, len(loader), lr_now,
                     total_recon_loss / iteration_count))
+            metrics.log(step=global_steps + 1, lr=lr_now,
+                        recon_loss=loss)
             global_steps += 1
             if max_steps and global_steps >= max_steps:
                 stop = True
@@ -187,4 +190,5 @@ def run(args):
         if stop:
             break
     profiler.close()
+    metrics.close()
     return params, opt_state

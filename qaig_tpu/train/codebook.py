@@ -57,6 +57,7 @@ def run(args):
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME)
     profiler = common.Profiler(args)
+    metrics = common.MetricsLogger(out_dir)
 
     config_dict = common.load_config(args["config_path"])
     model_lr = config_dict["model_lr"]
@@ -168,6 +169,8 @@ def run(args):
                     total_recon_loss / iteration_count,
                     model.neighbourhood_range))
 
+            metrics.log(step=global_steps + 1, lr=lr_now, recon_loss=loss,
+                        neighbourhood_range=model.neighbourhood_range)
             global_steps += 1
             if global_steps % neighbourhood_step == 0:
                 model.decrease_neighbourhood(steps=1)
@@ -177,4 +180,5 @@ def run(args):
         if stop:
             break
     profiler.close()
+    metrics.close()
     return model, params

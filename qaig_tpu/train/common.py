@@ -34,6 +34,30 @@ def apply_debug_flags(args):
         jax.config.update("jax_debug_nans", True)
 
 
+class MetricsLogger:
+    """Append-only JSONL metrics stream (<out>/metrics.jsonl) — the
+    machine-readable counterpart of the reference's per-step log lines
+    (SURVEY §5 observability plan)."""
+
+    def __init__(self, out_dir, enabled=True):
+        import json
+        self._json = json
+        self.path = os.path.join(str(out_dir), "metrics.jsonl")
+        self.enabled = enabled
+        self._fh = open(self.path, "a") if enabled else None
+
+    def log(self, **fields):
+        if not self.enabled:
+            return
+        self._fh.write(self._json.dumps(fields) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        if self._fh:
+            self._fh.close()
+            self._fh = None
+
+
 class Profiler:
     """Optional jax.profiler tracing over a window of train steps.
 

@@ -145,6 +145,31 @@ def test_codebook_parity(rng):
     np.testing.assert_allclose(got_q, want_q, atol=1e-6)
 
 
+def test_autoencoder_psnr_parity(rng):
+    """BASELINE.md quality metric: reconstruction PSNR parity.  The same
+    weights must reconstruct the same pixels on both frameworks to fp noise
+    (>= 50 dB between the two reconstructions over the [-1, 1] range)."""
+    from models.Autoencoder import Autoencoder as RefAE
+    torch.manual_seed(11)
+    kwargs = dict(num_layers=2, image_channel=3, min_channel=16,
+                  max_channel=64, latent_channel=4)
+    ref = RefAE(**kwargs)
+    ref.eval()
+
+    ours = Autoencoder(AutoencoderConfig(**kwargs))
+    params = ours.init(jax.random.PRNGKey(11))
+    params = load_torch_into(ours, params, _np_sd(ref))
+
+    x = rng.uniform(-1, 1, (4, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_recon = ref(torch.from_numpy(x)).numpy()
+    our_recon = np.asarray(ours.apply(params, jnp.asarray(x)))
+
+    mse = np.mean((ref_recon - our_recon) ** 2)
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))  # peak-to-peak 2.0
+    assert psnr >= 50.0, f"PSNR parity too low: {psnr:.1f} dB"
+
+
 def _transformer_pair(base_mode, seed=4):
     from models.Transformer import Transformer as RefTransformer
     torch.manual_seed(seed)
