@@ -81,7 +81,13 @@ def bmu_argmin_xla(patches, codes):
 
 
 def bmu_argmin(patches, codes):
-    """Dispatch: Pallas kernel on TPU, XLA elsewhere."""
+    """Dispatch: Pallas kernel on TPU, XLA elsewhere.
+
+    The argmin is integer-valued and carries no gradient (the reference's
+    ``torch.argmin`` likewise, ``models/Codebook.py:91-94``); inputs are
+    stop-gradiented so autodiff never tries to linearize the kernel.
+    """
     if jax.default_backend() == "tpu":
-        return fused_bmu(patches, codes)
+        return fused_bmu(jax.lax.stop_gradient(patches),
+                         jax.lax.stop_gradient(codes))
     return bmu_argmin_xla(patches, codes)
