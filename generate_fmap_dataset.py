@@ -17,6 +17,8 @@ def main():
     parser.add_argument("--num-files-folder", type=int, default=1_000)
     parser.add_argument("--dataset-path", required=True, type=pathlib.Path)
     parser.add_argument("--model-path", required=True, type=pathlib.Path)
+    parser.add_argument("--multihost", action="store_true",
+                        help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
     args = vars(parser.parse_args())
     fmap.run(args)

@@ -16,6 +16,8 @@ def main():
     parser.add_argument("--num-images", type=int, default=25)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--config-path", required=True, type=pathlib.Path)
+    parser.add_argument("--multihost", action="store_true",
+                        help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
     args = vars(parser.parse_args())
     generate.run(args)

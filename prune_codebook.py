@@ -17,6 +17,8 @@ def main():
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--prune-threshold", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--multihost", action="store_true",
+                        help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
     args = vars(parser.parse_args())
     prune.run(args)

@@ -80,6 +80,7 @@ def checkpoint_dict(cfg, params, opt_state):
 def run(args):
     """``args`` mirrors the reference CLI flags (dict)."""
     common.select_platform(args.get("device"))
+    common.maybe_init_distributed(args)
     common.apply_debug_flags(args)
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME)

@@ -53,6 +53,7 @@ def checkpoint_dict(model, params, global_steps):
 
 def run(args):
     common.select_platform(args.get("device"))
+    common.maybe_init_distributed(args)
     common.apply_debug_flags(args)
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME)

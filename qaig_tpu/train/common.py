@@ -26,6 +26,14 @@ def select_platform(device):
         jax.config.update("jax_platforms", "cpu")
 
 
+def maybe_init_distributed(args):
+    """--multihost: join a multi-host TPU slice (DCN coordination via
+    ``jax.distributed.initialize``; intra-slice collectives ride ICI through
+    the sharding annotations — SURVEY §2f comm-backend plan)."""
+    if args.get("multihost"):
+        jax.distributed.initialize()
+
+
 def apply_debug_flags(args):
     """--debug-nans: jax-native equivalent of the reference's NaN guard,
     failing at the op that produced the NaN instead of at the loss check

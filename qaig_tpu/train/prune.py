@@ -56,6 +56,7 @@ def prune(model, params, counts, prune_threshold, logging=print):
 
 def run(args):
     common.select_platform(args.get("device"))
+    common.maybe_init_distributed(args)
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME)
 

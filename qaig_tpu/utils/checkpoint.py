@@ -75,6 +75,8 @@ def load_model(checkpoint_path, logging=print):
     if not os.path.exists(checkpoint_path):
         logging("Checkpoint does not exist.")
         return False, None
+    if os.path.isdir(checkpoint_path):
+        return load_model_orbax(checkpoint_path, logging=logging)
     try:
         with open(checkpoint_path, "rb") as f:
             head = f.read(4)
@@ -87,6 +89,67 @@ def load_model(checkpoint_path, logging=print):
             return True, pickle.load(f)
     except Exception as e:
         logging(f"Failed to load checkpoint {checkpoint_path}: {e}")
+        return False, None
+
+
+# ---------------------------------------------------------------------------
+# orbax backend (optional)
+# ---------------------------------------------------------------------------
+
+def save_model_orbax(model_dict, dest_path, file_name, logging=print):
+    """Same checkpoint schema through orbax: arrays go into an orbax pytree
+    directory, non-array metadata into a sidecar JSON.  Produces
+    ``<dest>/models_checkpoint/<file_name>.orbax/``."""
+    import json
+    try:
+        import orbax.checkpoint as ocp
+        folder = os.path.join(str(dest_path), "models_checkpoint",
+                              str(file_name) + ".orbax")
+        flat = flatten_tree(_to_numpy(model_dict))
+        arrays = {k: v for k, v in flat.items()
+                  if isinstance(v, np.ndarray)}
+        meta = {k: v for k, v in flat.items()
+                if not isinstance(v, np.ndarray)}
+        if os.path.exists(folder):
+            import shutil
+            shutil.rmtree(folder)
+        os.makedirs(os.path.dirname(folder), exist_ok=True)
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(os.path.join(folder, "arrays"), arrays)
+        with open(os.path.join(folder, "meta.json"), "w") as f:
+            json.dump(meta, f, default=str)
+        return True
+    except Exception as e:
+        logging(f"Exception occured while saving model (orbax): {e}.")
+        return False
+
+
+def load_model_orbax(path, logging=print):
+    """Load an ``.orbax`` checkpoint directory back into the flat-dict
+    checkpoint schema; returns (status, dict of dotted paths)."""
+    import json
+    try:
+        import orbax.checkpoint as ocp
+        path = str(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        arrays = ckptr.restore(os.path.join(path, "arrays"))
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        flat = dict(arrays)
+        flat.update(meta)
+        # rebuild one nesting level: the schema dicts are shallow except for
+        # the 'model'/'checkpoint' state and optimizer trees, which callers
+        # consume through tolerant_restore on flat keys anyway.
+        out = {}
+        for key, value in flat.items():
+            head, _, rest = key.partition(".")
+            if not rest:
+                out[key] = value
+            else:
+                out.setdefault(head, {})[rest] = value
+        return True, out
+    except Exception as e:
+        logging(f"Failed to load orbax checkpoint {path}: {e}")
         return False, None
 
 

@@ -37,6 +37,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded["lst"][1], np.ones(3))
 
 
+def test_orbax_backend_roundtrip(tmp_path):
+    """Model weights + metadata round-trip through the orbax backend and
+    feed tolerant_restore like any other checkpoint."""
+    pytest_orbax = __import__("pytest").importorskip("orbax.checkpoint")
+    from qaig_tpu.utils.checkpoint import save_model_orbax, load_model
+
+    ckpt = {"num_layers": 2, "name": "ae",
+            "model": {"layers.0.w": np.ones((2, 3), np.float32),
+                      "layers.0.b": np.zeros((3,), np.float32)}}
+    assert save_model_orbax(ckpt, tmp_path, "m.pt")
+    ok, loaded = load_model(tmp_path / "models_checkpoint" / "m.pt.orbax")
+    assert ok
+    assert loaded["num_layers"] == 2
+    np.testing.assert_array_equal(loaded["model"]["layers.0.w"],
+                                  np.ones((2, 3)))
+
+
 def test_flatten_unflatten():
     tree = {"a": [{"w": jnp.zeros((2,))}, {"w": jnp.ones((3,))}],
             "b": {"c": jnp.full((1,), 5.0)}}
