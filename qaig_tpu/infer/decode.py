@@ -55,13 +55,29 @@ class SamplerSettings:
 @dataclass
 class DecodeState:
     """Python-side wrapper: ``arrays`` is the jit-carried pytree; the mode
-    switch (cached -> windowed) is statically determined from the Python
-    counters, so every jitted segment has static shapes."""
+    switch (cached -> windowed) and the cache-growth schedule are statically
+    determined from the Python counters, so every jitted segment has static
+    shapes."""
     mode: str                   # 'cached' | 'windowed'
     arrays: dict
     init_len: int
     gen_count: int = 0
     window: int = None          # sliding_window (pos-cond models only)
+    cache_len: int = 0          # current KV cache capacity (cached mode)
+    total_len: int = 0          # final capacity the generation needs
+
+
+FIRST_BUCKET = 64
+
+
+def _bucket_schedule(needed, total):
+    """Next cache capacity: doubling buckets, clipped to the final total.
+    Decode cost scales with cache length (attention reads the whole buffer
+    every step), so small prefixes shouldn't pay for the full sequence."""
+    cap = FIRST_BUCKET
+    while cap < needed:
+        cap *= 2
+    return min(cap, total) if needed <= total else needed
 
 
 def _sample(logits, rng, s: SamplerSettings):
@@ -250,6 +266,14 @@ class DecodeEngine:
     # public API
     # ------------------------------------------------------------------
 
+    def _grow_cache(self, arrays, new_len):
+        def pad(c):
+            cur = c.shape[2]
+            return jnp.pad(c, ((0, 0), (0, 0), (0, new_len - cur), (0, 0)))
+        caches = [{"k": pad(c["k"]), "v": pad(c["v"])}
+                  for c in arrays["caches"]]
+        return dict(arrays, caches=caches)
+
     def init_state(self, params, init_tokens, num_new_tokens, x_enc=None,
                    sliding_window=None):
         init_len = init_tokens.shape[1]
@@ -262,25 +286,52 @@ class DecodeEngine:
                     "token (reference zero-position contract)")
             # cached while context < window; cache sized for the pre-slide
             # phase only.
-            cached_len = min(init_len + num_new_tokens, sliding_window)
-            arrays = self._cached_init(params, init_tokens, cached_len,
+            total = min(init_len + num_new_tokens, sliding_window)
+            first = _bucket_schedule(init_len, total)
+            arrays = self._cached_init(params, init_tokens, first,
                                        x_enc, ctx_size=sliding_window)
             return DecodeState(mode="cached", arrays=arrays,
-                               init_len=init_len, window=sliding_window)
+                               init_len=init_len, window=sliding_window,
+                               cache_len=first, total_len=total)
         total = init_len + num_new_tokens
-        arrays = self._cached_init(params, init_tokens, total, x_enc,
+        first = _bucket_schedule(init_len, total)
+        arrays = self._cached_init(params, init_tokens, first, x_enc,
                                    ctx_size=0)
-        return DecodeState(mode="cached", arrays=arrays, init_len=init_len)
+        return DecodeState(mode="cached", arrays=arrays, init_len=init_len,
+                           cache_len=first, total_len=total)
+
+    def _cached_run(self, params, state: DecodeState, rng, num_steps,
+                    settings):
+        """Cached-mode steps with bucketed cache growth: each sub-segment
+        runs at the smallest capacity that holds its tokens."""
+        parts, logps = [], []
+        remaining = num_steps
+        while remaining > 0:
+            used = state.init_len + state.gen_count
+            capacity = state.cache_len - used
+            if capacity <= 0:
+                new_len = _bucket_schedule(used + 1, state.total_len)
+                state.arrays = self._grow_cache(state.arrays, new_len)
+                state.cache_len = new_len
+                capacity = state.cache_len - used
+            k = min(remaining, capacity)
+            rng, seg_rng = jax.random.split(rng)
+            arrays, tokens, logp = self._cached_segment(
+                params, state.arrays, seg_rng, k, settings)
+            state.arrays = arrays
+            state.gen_count += k
+            remaining -= k
+            parts.append(tokens)
+            logps.append(logp)
+        tokens = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                  axis=1)
+        return tokens, sum(logps[1:], logps[0])
 
     def segment(self, params, state: DecodeState, rng, num_steps, settings):
         """Generate ``num_steps`` tokens from ``state`` (mutating the Python
         wrapper); returns (tokens (N, steps), logp (N,))."""
         if state.window is None:
-            arrays, tokens, logp = self._cached_segment(
-                params, state.arrays, rng, num_steps, settings)
-            state.arrays = arrays
-            state.gen_count += num_steps
-            return tokens, logp
+            return self._cached_run(params, state, rng, num_steps, settings)
 
         # hybrid: cached until the context reaches the window size
         n_cached_left = max(
@@ -290,10 +341,8 @@ class DecodeEngine:
             k = min(num_steps, n_cached_left)
             if k > 0:
                 rng, seg_rng = jax.random.split(rng)
-                arrays, tokens, logp = self._cached_segment(
-                    params, state.arrays, seg_rng, k, settings)
-                state.arrays = arrays
-                state.gen_count += k
+                tokens, logp = self._cached_run(params, state, seg_rng, k,
+                                                settings)
                 parts.append(tokens)
                 logps.append(logp)
             if state.gen_count >= state.window - state.init_len \
@@ -343,12 +392,15 @@ class DecodeEngine:
                                 arrays=_tile(state.arrays, num_beam),
                                 init_len=state.init_len,
                                 gen_count=state.gen_count,
-                                window=state.window)
+                                window=state.window,
+                                cache_len=state.cache_len,
+                                total_len=state.total_len)
             tokens, logp = self.segment(params, tiled, seg_rng, beam_width,
                                         settings)
             winner = jnp.argmax(logp.reshape(n, num_beam), axis=1)
             state.arrays = _select_beam(tiled.arrays, winner, num_beam)
             state.mode = tiled.mode
             state.gen_count = tiled.gen_count
+            state.cache_len = tiled.cache_len
             out.append(_select_beam(tokens, winner, num_beam))
         return jnp.concatenate(out, axis=1)

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from qaig_tpu.models import core
 from qaig_tpu.ops.activations import get_activation
-from qaig_tpu.ops.attention import dot_product_attention
+from qaig_tpu.ops.attention import (dot_product_attention,
+                                    decode_attention_presplit, split_heads)
 
 
 @dataclass(frozen=True)
@@ -194,13 +195,17 @@ def self_attn_block_step(params, cfg: BlockConfig, x, cond, cache, index,
     else:
         q = project_q(params["attn"], x, cfg.act)
         k_new, v_new = project_kv(params["attn"], x, cfg.act)
-    k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k_new, index, 1)
-    v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v_new, index, 1)
-    s_max = k_cache.shape[1]
+    # caches are stored head-split (N, H, S, dh): the per-step write is a
+    # (N, H, 1, dh) slice and attention reads the cache with no transpose.
+    heads = cfg.self_attn_heads
+    k_cache = jax.lax.dynamic_update_slice_in_dim(
+        cache["k"], split_heads(k_new, heads), index, 2)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(
+        cache["v"], split_heads(v_new, heads), index, 2)
+    s_max = k_cache.shape[2]
     kv_mask = (jnp.arange(s_max) <= index)[None, :]
     kv_mask = jnp.broadcast_to(kv_mask, (x.shape[0], s_max))
-    out = dot_product_attention(q, k_cache, v_cache, cfg.self_attn_heads,
-                                causal=False, kv_mask=kv_mask)
+    out = decode_attention_presplit(q, k_cache, v_cache, kv_mask)
     out = residual(params["res"], out, x0, cond, cfg.act)
     return out, {"k": k_cache, "v": v_cache}
 
@@ -299,14 +304,15 @@ def transformer_block_step(params, cfg: BlockConfig, x, cache, index,
 
 def self_attn_block_prefill(params, cfg: BlockConfig, x, cond, cache):
     """Causal self-attention over a full prefix (N, P, D), writing the
-    prefix K/V into the cache (positions [0, P))."""
+    prefix K/V into the head-split cache (positions [0, P))."""
     p = x.shape[1]
     x0 = x
     x = block_norm(params["norm"], cfg, x, cond)
     q = project_q(params["attn"], x, cfg.act)
     k, v = project_kv(params["attn"], x, cfg.act)
-    k_cache = cache["k"].at[:, :p].set(k)
-    v_cache = cache["v"].at[:, :p].set(v)
+    heads = cfg.self_attn_heads
+    k_cache = cache["k"].at[:, :, :p].set(split_heads(k, heads))
+    v_cache = cache["v"].at[:, :, :p].set(split_heads(v, heads))
     out = dot_product_attention(q, k, v, cfg.self_attn_heads, causal=True)
     out = residual(params["res"], out, x0, cond, cfg.act)
     return out, {"k": k_cache, "v": v_cache}

@@ -164,8 +164,10 @@ class Transformer:
     # -- decode-engine primitives (KV-cached path) --------------------------
 
     def init_cache(self, batch, max_len, dtype=jnp.float32):
-        """Per-decoder-layer self-attention KV caches."""
-        shape = (batch, max_len, self.cfg.in_dim)
+        """Per-decoder-layer self-attention KV caches, stored head-split
+        (N, H, S, dh) so decode steps never transpose them."""
+        heads = self.cfg.self_attn_heads
+        shape = (batch, heads, max_len, self.cfg.in_dim // heads)
         return [
             {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
             for _ in range(self.cfg.num_dec_layers)]

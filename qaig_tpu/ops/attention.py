@@ -107,3 +107,28 @@ def dot_product_attention(q, k, v, heads, causal=False, kv_mask=None,
     out = jnp.einsum("nhqk,nhkd->nhqd", weights, vh,
                      preferred_element_type=jnp.float32)
     return merge_heads(out).astype(q.dtype)
+
+
+def decode_attention_presplit(q, k_cache, v_cache, kv_mask):
+    """Single-token attention against head-split caches.
+
+    Args:
+      q: (N, 1, D) projected query for the new token.
+      k_cache, v_cache: (N, H, S, dh) — stored pre-split so no transpose
+        copy of the cache happens per decode step (the dominant HBM cost).
+      kv_mask: (N, S) bool, True = valid cache slot.
+
+    Returns (N, 1, D).
+    """
+    n, _, d = q.shape
+    heads, s, dh = k_cache.shape[1:]
+    scale = 1.0 / math.sqrt(dh)
+
+    qh = split_heads(q, heads)  # (N, H, 1, dh) — tiny
+    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, k_cache,
+                        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(kv_mask[:, None, None, :], scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("nhqk,nhkd->nhqd", weights, v_cache,
+                     preferred_element_type=jnp.float32)
+    return merge_heads(out).astype(q.dtype)

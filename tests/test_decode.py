@@ -78,10 +78,11 @@ def test_hybrid_sliding_decode_matches_reference_semantics(rng):
     got = np.asarray(engine.generate(params, init, steps, root, settings,
                                      x_enc=x_enc, sliding_window=window))
 
-    # replicate the engine's key schedule
+    # replicate the engine's key schedule (segment -> _cached_run -> scan)
     n_cached = window - 1
     r1, seg = jax.random.split(root)
-    keys = list(jax.random.split(seg, n_cached)) + \
+    _, seg2 = jax.random.split(seg)
+    keys = list(jax.random.split(seg2, n_cached)) + \
         list(jax.random.split(r1, steps - n_cached))
 
     # reference-semantics oracle: full forward over the sliced context
