@@ -41,8 +41,6 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from qaig_tpu.infer import fast_step
-
 
 @dataclass(frozen=True)
 class SamplerSettings:

@@ -91,17 +91,11 @@ def _attention_step(q, k_old, v_old, k_cur, v_cur, heads, index):
 
 
 def init_stacked_cache(model, batch, max_len, dtype):
-    """(L, N, S, 2D) single-tensor KV cache."""
+    """(L, N, S, 2D) single-tensor KV cache (this module's own layout —
+    unrelated to the engine's head-split per-layer caches)."""
     cfg = model.cfg
     return jnp.zeros((cfg.num_dec_layers, batch, max_len, 2 * cfg.in_dim),
                      dtype)
-
-
-def stack_caches(per_layer_caches):
-    """Convert ``model.prefill`` per-layer {k, v} caches into the stacked
-    layout."""
-    return jnp.stack([jnp.concatenate([c["k"], c["v"]], axis=-1)
-                      for c in per_layer_caches])
 
 
 def fast_decode_step(model, params, packed, token, cache, index,

@@ -146,6 +146,39 @@ def test_fast_step_matches_full_forward(rng, use_encoder, use_pos):
                                    err_msg=f"position {i}")
 
 
+def test_bucketed_cache_growth_preserves_state(rng, monkeypatch):
+    """With a tiny first bucket, generation crosses several cache-growth
+    boundaries; the final carry logits must equal the teacher-forcing
+    logits over the realized token sequence (cache contents survive every
+    pad/regrow)."""
+    import jax
+    from qaig_tpu.infer import decode as decode_mod
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+
+    monkeypatch.setattr(decode_mod, "FIRST_BUCKET", 4)
+
+    cfg = _small_cfg(use_encoder=True)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(5))
+    engine = DecodeEngine(model)
+    settings = SamplerSettings(temperature=1.0, end_token=11,
+                               end_mode="none", index_shift=0)
+
+    n, steps = 2, 14
+    init = jnp.asarray(rng.integers(0, cfg.num_dec_embedding, (n, 1)))
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+
+    state = engine.init_state(params, init, steps, x_enc=x_enc)
+    tokens, _ = engine.segment(params, state, jax.random.PRNGKey(9), steps,
+                               settings)
+    assert state.cache_len >= state.init_len + steps
+
+    full_seq = jnp.concatenate([init, tokens], axis=1)
+    want = model.apply(params, full_seq, x_enc=x_enc)[:, -1]
+    got = state.arrays["logits"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_window_forward_matches_apply(rng):
     cfg = _small_cfg(use_encoder=True, use_pos_cond=True)
     model = Transformer(cfg)
