@@ -1,0 +1,150 @@
+"""Library-level cascade pipeline: load once, generate many.
+
+Programmatic (serving-friendly) counterpart of the ``generate_images`` CLI
+(reference ``generate_images.py`` is batch-CLI only): all stage transformers,
+codebooks and the pixel decoder are loaded and jitted once; ``generate``
+then produces image batches with no host round-trips between stages.
+"""
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+from qaig_tpu.infer.generate import transformer_from_checkpoint
+from qaig_tpu.train import common
+from qaig_tpu.utils import load_model
+
+
+@dataclass
+class CascadeStage:
+    model: object
+    params: dict
+    engine: DecodeEngine
+    lr_codebook: object
+    lr_params: dict
+    hr_codebook: object
+    hr_params: dict
+    settings: SamplerSettings
+    num_beam: int
+    beam_width: int
+    sliding_window: int
+    total_seq: int
+    is_base: bool
+
+    @property
+    def lr_num_embeddings(self):
+        return self.lr_codebook.num_embeddings if self.lr_codebook else 0
+
+
+class CascadePipeline:
+    """The full coarse-to-fine generation stack."""
+
+    def __init__(self, stages, decoder, dec_params):
+        self.stages = stages
+        self.decoder = decoder
+        self.dec_params = dec_params
+        self._decode_jit = jax.jit(decoder.apply)
+
+    @classmethod
+    def from_config(cls, config_dict, decoder_path, logging=print):
+        """``config_dict`` is the generate_images staged config (keys
+        "0","1",... with model/codebook paths + sampling settings)."""
+        status, dec_ckpt = load_model(decoder_path, logging=logging)
+        if not status:
+            raise RuntimeError(
+                "An error occured while loading decoder model checkpoint!")
+        decoder, dec_params, _ = common.decoder_from_checkpoint(
+            dec_ckpt, logging=logging)
+
+        stages = []
+        for index in sorted(config_dict.keys(), key=int):
+            stage_cfg = config_dict[index]
+            lr_codebook = lr_params = None
+            if stage_cfg.get("lr_codebook_path") is not None:
+                ok, lr_ckpt = load_model(stage_cfg["lr_codebook_path"],
+                                         logging=logging)
+                if not ok:
+                    raise RuntimeError(
+                        "An error occured while loading codebook checkpoint!")
+                lr_codebook, lr_params = common.codebook_from_checkpoint(
+                    lr_ckpt, logging=logging)
+
+            ok, hr_ckpt = load_model(stage_cfg["hr_codebook_path"],
+                                     logging=logging)
+            if not ok:
+                raise RuntimeError(
+                    "An error occured while loading codebook checkpoint!")
+            hr_codebook, hr_params = common.codebook_from_checkpoint(
+                hr_ckpt, logging=logging)
+
+            ok, model_ckpt = load_model(stage_cfg["model_path"],
+                                        logging=logging)
+            if not ok:
+                raise RuntimeError(
+                    "An error occured while loading model checkpoint!")
+            model, params, model_ckpt = transformer_from_checkpoint(
+                model_ckpt, logging=logging)
+
+            total_seq = hr_codebook.seq_len
+            if total_seq % stage_cfg["beam_width"] != 0:
+                raise ValueError("Invalid value for beam_width!")
+
+            is_base = index == "0"
+            settings = SamplerSettings(
+                temperature=stage_cfg["temperature"],
+                end_token=hr_codebook.num_embeddings,
+                end_mode="mask",
+                index_shift=(lr_codebook.num_embeddings if is_base else 0))
+            stages.append(CascadeStage(
+                model=model, params=params, engine=DecodeEngine(model),
+                lr_codebook=lr_codebook, lr_params=lr_params,
+                hr_codebook=hr_codebook, hr_params=hr_params,
+                settings=settings, num_beam=stage_cfg["num_beam"],
+                beam_width=stage_cfg["beam_width"],
+                sliding_window=(model_ckpt["sliding_window"]
+                                if model_ckpt["use_sliding_window"]
+                                else None),
+                total_seq=total_seq, is_base=is_base))
+        return cls(stages, decoder, dec_params)
+
+    def generate_tokens(self, num_images, rng, init_tokens=None):
+        """Run every stage; returns (final HR tokens, per-stage tokens).
+
+        ``init_tokens`` optionally conditions stage 0 (defaults to random
+        coarse indices like the reference).
+        """
+        per_stage = []
+        tokens = init_tokens
+        for stage in self.stages:
+            rng, gen_rng = jax.random.split(rng)
+            if stage.is_base:
+                if tokens is None:
+                    rng, init_rng = jax.random.split(rng)
+                    tokens = jax.random.randint(
+                        init_rng, (num_images, 1), 0,
+                        stage.lr_num_embeddings)
+                init = tokens
+                x_enc = None
+            else:
+                init = jnp.full((num_images, 1),
+                                stage.hr_codebook.num_embeddings, jnp.int32)
+                x_enc = tokens
+            out = stage.engine.rollout_generate(
+                stage.params, init, stage.total_seq, gen_rng, stage.settings,
+                num_beam=stage.num_beam, beam_width=stage.beam_width,
+                x_enc=x_enc, sliding_window=stage.sliding_window)
+            tokens = out - stage.settings.index_shift
+            per_stage.append(tokens)
+        return tokens, per_stage
+
+    def generate(self, num_images, seed=0, init_tokens=None):
+        """Returns (images (N, C, H, W) in [-1, 1] BGR, final tokens)."""
+        rng = jax.random.PRNGKey(seed)
+        tokens, _ = self.generate_tokens(num_images, rng,
+                                         init_tokens=init_tokens)
+        last = self.stages[-1]
+        quant = last.hr_codebook.get_quantized_image(last.hr_params, tokens)
+        images = self._decode_jit(self.dec_params, quant)
+        return images, tokens

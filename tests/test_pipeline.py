@@ -163,3 +163,12 @@ def test_full_pipeline(tmp_path):
     assert (gen_out / "images" / "recon_model_Cond.jpg").exists()
     assert (gen_out / "images" / "recon_model_0.jpg").exists()
     assert (gen_out / "images" / "recon_model_1.jpg").exists()
+
+    # -- library-level pipeline API (load once, generate many) --------------
+    from qaig_tpu.infer.pipeline import CascadePipeline
+    pipe = CascadePipeline.from_config(gen_cfg, ae_ckpt)
+    images, tokens2 = pipe.generate(2, seed=3)
+    assert images.shape == (2, 3, 16, 16)
+    assert np.asarray(tokens2).shape == (2, 16)
+    images2, _ = pipe.generate(2, seed=3)
+    np.testing.assert_array_equal(np.asarray(images), np.asarray(images2))
