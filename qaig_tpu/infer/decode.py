@@ -234,9 +234,9 @@ class DecodeEngine:
 
                 def body(carry, step_rng):
                     tok_buf, pos_buf, gen_count, logp = carry
-                    logits_all = model.window_forward(
-                        params, tok_buf, pos_cond=pos_buf, cross_kv=cross_kv)
-                    logits = logits_all[:, -1]
+                    logits = model.window_forward(
+                        params, tok_buf, pos_cond=pos_buf, cross_kv=cross_kv,
+                        last_only=True)[:, 0]
                     token, prob = _sample(logits, step_rng, settings)
                     new_pos = (gen_count + 1).astype(jnp.float32)
                     tok_buf = jnp.roll(tok_buf, -1, axis=1).at[:, -1].set(

@@ -246,11 +246,19 @@ class Transformer:
             new_caches.append(cache)
         return self.classify(params, h)[:, 0], new_caches
 
-    def window_forward(self, params, tokens, pos_cond=None, cross_kv=None):
+    def window_forward(self, params, tokens, pos_cond=None, cross_kv=None,
+                       last_only=False):
         """Full decoder forward over a fixed window with *precomputed* cross
         K/V — the sliding-window decode path (window-relative positions make
         KV caching across slides invalid, so the window is recomputed, but
-        encoder K/V never is).  Returns all-position logits."""
+        encoder K/V never is).
+
+        ``last_only``: decode only samples from the final position, so the
+        final layer restricts its query (and its cross-attn/FFN) to that
+        position and the classifier runs once — exact, since the last
+        layer's non-final outputs feed nothing downstream.  Returns
+        all-position logits, or (N, 1, out_dim) when ``last_only``.
+        """
         cfg = self.cfg
         h = core.embedding_lookup(params["dec_embedding"], tokens)
         seq = h.shape[1]
@@ -261,16 +269,45 @@ class Transformer:
         if cfg.use_pos_cond:
             pos_cond_emb = self.pos_cond_embedding(params, pos_cond)
 
-        for layer_params, ckv in zip(
-                params["decoder_layers"],
-                cross_kv or [None] * cfg.num_dec_layers):
-            h = blocks.self_attn_block(
-                layer_params["self_attn"], self.dec_block_cfg, h,
-                cond=pos_cond_emb)
-            if cfg.use_encoder:
-                h = blocks.cross_attn_block(
-                    layer_params["cross_attn"], self.dec_block_cfg, h, None,
-                    cond=pos_cond_emb, precomputed_kv=ckv)
-            h = blocks.ffn_block(layer_params["ffn"], self.dec_block_cfg, h,
-                                 cond=pos_cond_emb)
+        cross_kv = cross_kv or [None] * cfg.num_dec_layers
+        n_layers = cfg.num_dec_layers
+        for i, (layer_params, ckv) in enumerate(
+                zip(params["decoder_layers"], cross_kv)):
+            final = last_only and i == n_layers - 1
+            if final:
+                # last layer: all positions feed K/V, only the final query
+                # is consumed
+                bcfg = self.dec_block_cfg
+                x0 = h[:, -1:]
+                xn = blocks.block_norm(
+                    layer_params["self_attn"]["norm"], bcfg, h,
+                    pos_cond_emb)
+                q = blocks.project_q(layer_params["self_attn"]["attn"],
+                                     xn[:, -1:], bcfg.act)
+                k, v = blocks.project_kv(layer_params["self_attn"]["attn"],
+                                         xn, bcfg.act)
+                cond_last = (pos_cond_emb[:, -1:]
+                             if pos_cond_emb is not None else None)
+                from qaig_tpu.ops.attention import dot_product_attention
+                attn = dot_product_attention(
+                    q, k, v, bcfg.self_attn_heads, causal=True,
+                    q_offset=seq - 1)
+                h = blocks.residual(layer_params["self_attn"]["res"], attn,
+                                    x0, cond_last, bcfg.act)
+                if cfg.use_encoder:
+                    h = blocks.cross_attn_block(
+                        layer_params["cross_attn"], bcfg, h, None,
+                        cond=cond_last, precomputed_kv=ckv)
+                h = blocks.ffn_block(layer_params["ffn"], bcfg, h,
+                                     cond=cond_last)
+            else:
+                h = blocks.self_attn_block(
+                    layer_params["self_attn"], self.dec_block_cfg, h,
+                    cond=pos_cond_emb)
+                if cfg.use_encoder:
+                    h = blocks.cross_attn_block(
+                        layer_params["cross_attn"], self.dec_block_cfg, h,
+                        None, cond=pos_cond_emb, precomputed_kv=ckv)
+                h = blocks.ffn_block(layer_params["ffn"], self.dec_block_cfg,
+                                     h, cond=pos_cond_emb)
         return self.classify(params, h)

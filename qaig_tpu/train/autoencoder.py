@@ -147,19 +147,25 @@ def run(args):
     log.info(f"Model Checkpoint step: {checkpoint_step:,}")
     log.info("#" * 100)
 
+    log_every = args.get("log_every", 1)
     global_steps = 0
     stop = False
     for _ in range(max_epoch):
         total_recon_loss = 0.0
         iteration_count = 0
+        loss_acc = jnp.zeros(())
         for index, image in enumerate(loader):
             profiler.step(global_steps)
             batch = jax.device_put(jnp.asarray(image), data_sharding)
             params, opt_state, loss = train_step(params, opt_state, batch)
-            loss = float(loss)
-            common.check_finite(loss)
             iteration_count += 1
-            total_recon_loss += loss
+            loss_acc = loss_acc + loss
+            should_sync = (log_every <= 1
+                           or (global_steps + 1) % log_every == 0
+                           or global_steps % checkpoint_step == 0)
+            if should_sync:
+                total_recon_loss = float(loss_acc)
+                common.check_finite(total_recon_loss)
 
             if global_steps % checkpoint_step == 0:
                 save_status = save_model(
@@ -177,13 +183,15 @@ def run(args):
 
             lr_now = optim.current_lr(model_lr, lr_update_step,
                                       global_steps + 1)
-            log.info(
-                "Cum. Steps: {:,} | Steps: {:,} / {:,} | L.R.: {:.8f} | "
-                "Recon Loss: {:.5f}".format(
-                    global_steps + 1, index + 1, len(loader), lr_now,
-                    total_recon_loss / iteration_count))
-            metrics.log(step=global_steps + 1, lr=lr_now,
-                        recon_loss=loss)
+            if should_sync:
+                avg = total_recon_loss / iteration_count
+                log.info(
+                    "Cum. Steps: {:,} | Steps: {:,} / {:,} | L.R.: {:.8f} | "
+                    "Recon Loss: {:.5f}".format(
+                        global_steps + 1, index + 1, len(loader), lr_now,
+                        avg))
+                metrics.log(step=global_steps + 1, lr=lr_now,
+                            recon_loss=avg)
             global_steps += 1
             if max_steps and global_steps >= max_steps:
                 stop = True

@@ -196,3 +196,9 @@ def test_window_forward_matches_apply(rng):
     got = model.window_forward(params, tokens, pos_cond=pos_cond,
                                cross_kv=cross_kv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # last_only: exact final-position logits with the trimmed last layer
+    got_last = model.window_forward(params, tokens, pos_cond=pos_cond,
+                                    cross_kv=cross_kv, last_only=True)
+    np.testing.assert_allclose(np.asarray(got_last[:, 0]),
+                               np.asarray(want[:, -1]), atol=1e-4)

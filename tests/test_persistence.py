@@ -37,6 +37,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(loaded["lst"][1], np.ones(3))
 
 
+def test_load_model_reads_torch_pt_files(tmp_path):
+    """Reference checkpoints are torch.save zip archives; load_model must
+    read them transparently (pretrained-weights import path)."""
+    torch = __import__("pytest").importorskip("torch")
+    ckpt = {"num_layers": 2,
+            "model": {"w": torch.arange(6, dtype=torch.float32).reshape(2, 3)}}
+    path = tmp_path / "ref.pt"
+    torch.save(ckpt, path)
+
+    from qaig_tpu.utils.checkpoint import load_model
+    ok, loaded = load_model(path)
+    assert ok
+    assert loaded["num_layers"] == 2
+    np.testing.assert_array_equal(loaded["model"]["w"],
+                                  np.arange(6, dtype=np.float32).reshape(2, 3))
+
+
 def test_orbax_backend_roundtrip(tmp_path):
     """Model weights + metadata round-trip through the orbax backend and
     feed tolerant_restore like any other checkpoint."""

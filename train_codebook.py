@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--profile-steps", type=int, default=5)
     parser.add_argument("-c", "--config-path", required=True,
                         type=pathlib.Path)
+    parser.add_argument("--log-every", type=int, default=1,
+                        help="Sync loss to host every N steps (1 = reference behavior).")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
