@@ -48,6 +48,8 @@ def build_cascade(scale="full", dtype=jnp.bfloat16):
                                 min_channel=256, max_channel=512,
                                 latent_channel=latent_c)
         sliding = {2: 256}
+        # reference README generation config: beam rollouts per stage
+        beams = {0: (32, 16), 1: (4, 8), 2: (4, 8)}  # (num_beam, beam_width)
     else:  # smoke scale for CPU runs
         in_dim, hidden, enc_l, dec_l, heads, k = 64, 128, 2, 2, 4, 32
         image_dim, latent_c = (8, 8), 2
@@ -56,6 +58,7 @@ def build_cascade(scale="full", dtype=jnp.bfloat16):
                                 min_channel=16, max_channel=32,
                                 latent_channel=latent_c)
         sliding = {2: 16}
+        beams = {0: (2, 2), 1: (2, 4), 2: (2, 4)}
 
     rng = jax.random.PRNGKey(0)
     codebooks = []
@@ -93,10 +96,12 @@ def build_cascade(scale="full", dtype=jnp.bfloat16):
         settings = SamplerSettings(
             temperature=1.0, end_token=k, end_mode="mask",
             index_shift=k if base else 0)
+        num_beam, beam_width = beams[i]
         stages.append(dict(model=model, params=params,
                            engine=DecodeEngine(model), lr=lr_cb, hr=hr_cb,
                            settings=settings, window=window,
-                           total_seq=hr_cb[0].seq_len, k=k, base=base))
+                           total_seq=hr_cb[0].seq_len, k=k, base=base,
+                           num_beam=num_beam, beam_width=beam_width))
 
     decoder = FCDecoder(dec_cfg)
     rng, d_rng = jax.random.split(rng)
@@ -106,7 +111,8 @@ def build_cascade(scale="full", dtype=jnp.bfloat16):
     return stages, decoder, dec_params
 
 
-def run_cascade(stages, decoder, dec_params, num_images, stage_params, rng):
+def run_cascade(stages, decoder, dec_params, num_images, stage_params, rng,
+                use_beams=True):
     """One full cascade: tokens through all stages, then pixels.  Pure in
     its array arguments so the whole cascade jits into ONE program (a single
     device dispatch per generated batch)."""
@@ -121,9 +127,15 @@ def run_cascade(stages, decoder, dec_params, num_images, stage_params, rng):
         else:
             init = jnp.full((num_images, 1), st["k"], jnp.int32)
             x_enc = tokens
-        out = st["engine"].generate(
-            params, init, st["total_seq"], gen_rng, st["settings"],
-            x_enc=x_enc, sliding_window=st["window"])
+        if use_beams:
+            out = st["engine"].rollout_generate(
+                params, init, st["total_seq"], gen_rng, st["settings"],
+                num_beam=st["num_beam"], beam_width=st["beam_width"],
+                x_enc=x_enc, sliding_window=st["window"])
+        else:
+            out = st["engine"].generate(
+                params, init, st["total_seq"], gen_rng, st["settings"],
+                x_enc=x_enc, sliding_window=st["window"])
         tokens = out - st["settings"].index_shift
 
     hr_cb, hr_params = stages[-1]["hr"]
@@ -133,11 +145,14 @@ def run_cascade(stages, decoder, dec_params, num_images, stage_params, rng):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=384)
+    parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--scale", choices=["full", "smoke"], default="full")
     parser.add_argument("--breakdown", action="store_true",
                         help="print per-stage timings to stderr")
+    parser.add_argument("--no-beams", action="store_true",
+                        help="single-path temperature sampling (no rollout "
+                             "beam search)")
     args = parser.parse_args()
 
     backend = jax.default_backend()
@@ -149,9 +164,10 @@ def main():
 
     # ONE jitted program for the whole cascade: a single device dispatch per
     # batch (per-stage dispatch round-trips dominate otherwise).
+    use_beams = not args.no_beams
     cascade = jax.jit(
         lambda sp, dp, rng: run_cascade(stages, decoder, dp, args.batch,
-                                        sp, rng))
+                                        sp, rng, use_beams=use_beams))
 
     rng = jax.random.PRNGKey(7)
 

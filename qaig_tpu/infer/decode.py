@@ -96,18 +96,34 @@ def _sample(logits, rng, s: SamplerSettings):
 
 
 def _tile(tree, reps):
-    return jax.tree_util.tree_map(
-        lambda x: jnp.repeat(x, reps, axis=0) if hasattr(x, "ndim") and
-        x.ndim > 0 else x, tree)
+    """Repeat rows: (N, ...) -> (N*reps, ...) as a pure broadcast+reshape
+    (jnp.repeat lowers to a slow gather on TPU at cache sizes)."""
+    def t(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        out = jnp.broadcast_to(x[:, None], (x.shape[0], reps) + x.shape[1:])
+        return out.reshape((x.shape[0] * reps,) + x.shape[1:])
+    return jax.tree_util.tree_map(t, tree)
 
 
 def _select_beam(tree, winner, num_beam):
-    """Gather the winning rollout's rows from (N*B, ...) leaves."""
+    """Gather the winning rollout's rows from (N*B, ...) leaves.
+
+    Floating leaves (the big KV caches) use a one-hot contraction — a dense
+    multiply-reduce the TPU executes at full bandwidth, where
+    ``take_along_axis``'s general gather is orders of magnitude slower.
+    Small integer leaves keep the gather path.
+    """
+    n = winner.shape[0]
+    onehot = jax.nn.one_hot(winner, num_beam)  # (N, B) f32
+
     def pick(x):
         if not hasattr(x, "ndim") or x.ndim == 0:
             return x
-        n = winner.shape[0]
         xr = x.reshape((n, num_beam) + x.shape[1:])
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            out = jnp.einsum("nb,nb...->n...", onehot.astype(x.dtype), xr)
+            return out.astype(x.dtype)
         idx = winner.reshape((n,) + (1,) * (xr.ndim - 1))
         idx = jnp.broadcast_to(idx, (n, 1) + xr.shape[2:])
         return jnp.take_along_axis(xr, idx, axis=1)[:, 0]
