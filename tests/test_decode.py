@@ -146,6 +146,38 @@ def test_fast_step_matches_full_forward(rng, use_encoder, use_pos):
                                    err_msg=f"position {i}")
 
 
+def test_remat_matches_no_remat(rng):
+    """use_remat (the reference's activation checkpointing) must not change
+    outputs or gradients."""
+    import jax
+    from dataclasses import replace
+
+    cfg = _small_cfg(use_encoder=True, use_pos_cond=True)
+    model = Transformer(cfg)
+    model_r = Transformer(replace(cfg, use_remat=True))
+    params = model.init(jax.random.PRNGKey(2))
+
+    n, seq = 2, 5
+    tokens = jnp.asarray(rng.integers(0, cfg.num_dec_embedding, (n, seq)))
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 3)))
+    pos = jnp.asarray(rng.integers(0, 9, (n, seq)))
+
+    def loss(m):
+        return lambda p: jnp.sum(
+            m.apply(p, tokens, x_enc=x_enc, pos_cond=pos) ** 2)
+
+    out = model.apply(params, tokens, x_enc=x_enc, pos_cond=pos)
+    out_r = model_r.apply(params, tokens, x_enc=x_enc, pos_cond=pos)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), atol=1e-5)
+
+    g = jax.grad(loss(model))(params)
+    g_r = jax.grad(loss(model_r))(params)
+    for leaf, leaf_r in zip(jax.tree_util.tree_leaves(g),
+                            jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(leaf_r), np.asarray(leaf),
+                                   atol=1e-4)
+
+
 def test_bucketed_cache_growth_preserves_state(rng, monkeypatch):
     """With a tiny first bucket, generation crosses several cache-growth
     boundaries; the final carry logits must equal the teacher-forcing

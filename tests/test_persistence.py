@@ -148,3 +148,31 @@ def test_optimizer_matches_torch_adam(rng):
                                           params)
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params["w"]), want, atol=1e-6)
+
+
+def test_fmap_dataset_with_images(tmp_path, rng):
+    """FeatureMapDataset(load_image=True) returns (fmap, image-HWC) pairs —
+    the reference's joint-load mode (feature_map_dataset.py:44-58)."""
+    import pytest
+    cv2 = pytest.importorskip("cv2")
+    from qaig_tpu.data.manifest import write_manifest
+    from qaig_tpu.data.fmap_dataset import FeatureMapDataset
+
+    rows = []
+    for i in range(3):
+        fmap = rng.standard_normal((2, 4, 4)).astype(np.float32)
+        fp = str(tmp_path / f"f{i}.npy")
+        with open(fp, "wb") as f:
+            np.save(f, fmap)
+        img = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+        ip = str(tmp_path / f"i{i}.png")
+        cv2.imwrite(ip, img)
+        rows.append({"fmap_path": fp, "image_path": ip})
+    manifest = str(tmp_path / "m.json")
+    write_manifest(manifest, rows)
+
+    ds = FeatureMapDataset(manifest, load_image=True)
+    fmap, image = ds[1]
+    assert fmap.shape == (2, 4, 4)
+    assert image.shape == (8, 8, 3)  # HWC, reference keeps this layout
+    assert image.min() >= -1.0 and image.max() <= 1.0
