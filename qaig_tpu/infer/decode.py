@@ -222,6 +222,77 @@ class DecodeEngine:
         return self._jitted(key, build)(params, arrays, rng)
 
     # ------------------------------------------------------------------
+    # shared-prefix rollout segment (beam fast path)
+    # ------------------------------------------------------------------
+
+    def _rollout_segment(self, params, arrays, rng, beam_width, num_beam,
+                         settings: SamplerSettings):
+        """One best-of-B segment with the prefix KV cache SHARED across
+        rollouts: only (N*B, H, bw, dh) per-rollout blocks are created,
+        selected, and merged back — the legacy path tiled and re-gathered
+        every full cache.  Selection happens in-jit; returns
+        (new shared arrays, winning tokens (N, bw))."""
+        model = self.model
+        use_pos = model.cfg.use_pos_cond
+        has_ctx = "ctx" in arrays
+
+        def build():
+            def fn(params, arrays, rng):
+                n = arrays["logits"].shape[0]
+                nb = n * num_beam
+                index0 = arrays["index"]
+                packed = model.pack_decode(params)
+                cross_split = model.presplit_cross_kv(arrays["cross_kv"]) \
+                    if model.cfg.use_encoder else None
+                block_caches = model.init_block_cache(
+                    nb, beam_width, params["dec_embedding"]["w"].dtype)
+
+                logits0 = _tile({"x": arrays["logits"]}, num_beam)["x"]
+                ctx0 = (_tile({"x": arrays["ctx"]}, num_beam)["x"]
+                        if has_ctx else jnp.zeros((nb, 1), jnp.int32))
+
+                def body(carry, step_rng):
+                    logits, blocks_, j, ctx, logp = carry
+                    token, p = _sample(logits, step_rng, settings)
+                    if has_ctx:
+                        ctx = jax.lax.dynamic_update_slice(
+                            ctx, token[:, None].astype(jnp.int32),
+                            (0, index0 + j))
+                    pos_val = index0 + j if use_pos else None
+                    logits, blocks_ = model.decode_step_shared(
+                        params, token, arrays["caches"], blocks_,
+                        index0, j, cross_kv_split=cross_split,
+                        pos_cond_value=pos_val, packed=packed)
+                    return ((logits, blocks_, j + 1, ctx,
+                             logp + jnp.log(jnp.maximum(p, 1e-38))), token)
+
+                keys = jax.random.split(rng, beam_width)
+                carry = (logits0, block_caches, jnp.asarray(0, jnp.int32),
+                         ctx0, jnp.zeros(nb))
+                (logits, blocks_, _, ctx, logp), tokens = jax.lax.scan(
+                    body, carry, keys)
+                tokens = tokens.T  # (N*B, bw)
+
+                winner = jnp.argmax(logp.reshape(n, num_beam), axis=1)
+                sel = _select_beam(
+                    {"logits": logits, "tokens": tokens, "ctx": ctx,
+                     "blocks": blocks_}, winner, num_beam)
+                caches = model.merge_block_caches(
+                    arrays["caches"], sel["blocks"], index0)
+                new_arrays = dict(arrays, caches=caches,
+                                  logits=sel["logits"],
+                                  index=index0 + beam_width)
+                if has_ctx:
+                    new_arrays["ctx"] = sel["ctx"]
+                return new_arrays, sel["tokens"]
+            return fn
+
+        key = ("rollout_seg", beam_width, num_beam, settings, has_ctx,
+               arrays["logits"].shape,
+               arrays["caches"][0]["k"].shape)
+        return self._jitted(key, build)(params, arrays, rng)
+
+    # ------------------------------------------------------------------
     # windowed state / segment
     # ------------------------------------------------------------------
 
@@ -402,6 +473,28 @@ class DecodeEngine:
         out = []
         for _ in range(num_new_tokens // beam_width):
             rng, seg_rng = jax.random.split(rng)
+
+            # shared-prefix fast path: the whole segment stays in cached
+            # mode (prefix K/V shared at N rows; only per-rollout blocks
+            # are tiled/selected)
+            cached_left = (num_new_tokens if state.window is None else
+                           max(0, (state.window - state.init_len)
+                               - state.gen_count))
+            if state.mode == "cached" and beam_width <= cached_left:
+                needed = state.init_len + state.gen_count + beam_width
+                if needed > state.cache_len:
+                    new_len = _bucket_schedule(needed, state.total_len)
+                    state.arrays = self._grow_cache(state.arrays, new_len)
+                    state.cache_len = new_len
+                state.arrays, tokens = self._rollout_segment(
+                    params, state.arrays, seg_rng, beam_width, num_beam,
+                    settings)
+                state.gen_count += beam_width
+                out.append(tokens)
+                continue
+
+            # legacy path (windowed phase / crossing segments): tile the
+            # full state, decode, gather the winner
             tiled = DecodeState(mode=state.mode,
                                 arrays=_tile(state.arrays, num_beam),
                                 init_len=state.init_len,

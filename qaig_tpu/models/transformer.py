@@ -246,6 +246,109 @@ class Transformer:
             new_caches.append(cache)
         return self.classify(params, h)[:, 0], new_caches
 
+    # -- shared-prefix beam decode (rollout fast path) -----------------------
+
+    def presplit_cross_kv(self, cross_kv):
+        """(N, S, D) cross K/V -> head-split (N, H, S, dh), done once per
+        generation so rollout steps never transpose them."""
+        from qaig_tpu.ops.attention import split_heads
+        heads = self.cfg.cross_attn_heads or self.cfg.self_attn_heads
+        out = []
+        for ckv in cross_kv:
+            if ckv is None:
+                out.append(None)
+            else:
+                out.append({"k": split_heads(ckv["k"], heads),
+                            "v": split_heads(ckv["v"], heads)})
+        return out
+
+    def init_block_cache(self, nb, bw, dtype=jnp.float32):
+        """Per-rollout segment K/V blocks: (N*B, H, bw, dh) per layer."""
+        heads = self.cfg.self_attn_heads
+        shape = (nb, heads, bw, self.cfg.in_dim // heads)
+        return [
+            {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+            for _ in range(self.cfg.num_dec_layers)]
+
+    def decode_step_shared(self, params, token, shared_caches, block_caches,
+                           index0, block_index, cross_kv_split=None,
+                           pos_cond_value=None, packed=None):
+        """One rollout decode step: ``token`` (N*B,) at absolute position
+        ``index0 + block_index``; prefix K/V shared at N rows, segment K/V
+        per-rollout.  Returns (logits (N*B, out), block_caches)."""
+        from qaig_tpu.ops.attention import (shared_prefix_attention,
+                                            shared_cross_attention,
+                                            split_heads)
+        cfg = self.cfg
+        bcfg = self.dec_block_cfg
+        index_abs = index0 + block_index
+
+        h = core.embedding_lookup(params["dec_embedding"], token[:, None])
+        pos = sinusoidal_pos_emb(
+            cfg.in_dim, jnp.asarray(index_abs + 1, jnp.float32)[None])
+        h = h + pos[None].astype(h.dtype)
+
+        pos_cond_emb = None
+        if cfg.use_pos_cond:
+            pos_cond_emb = self.pos_cond_embedding(
+                params, jnp.asarray(pos_cond_value, jnp.float32)[None, None])
+
+        packed = packed or [None] * cfg.num_dec_layers
+        cross_kv_split = cross_kv_split or [None] * cfg.num_dec_layers
+        new_blocks = []
+        for layer, shared, block, ckv, pk in zip(
+                params["decoder_layers"], shared_caches, block_caches,
+                cross_kv_split, packed):
+            x0 = h
+            xn = blocks.block_norm(layer["self_attn"]["norm"], bcfg, h,
+                                   pos_cond_emb)
+            if pk is not None:
+                q, k, v = blocks.packed_qkv(pk, xn, bcfg.act)
+            else:
+                q = blocks.project_q(layer["self_attn"]["attn"], xn,
+                                     bcfg.act)
+                k, v = blocks.project_kv(layer["self_attn"]["attn"], xn,
+                                         bcfg.act)
+            heads = bcfg.self_attn_heads
+            bk = jax.lax.dynamic_update_slice_in_dim(
+                block["k"], split_heads(k, heads), block_index, 2)
+            bv = jax.lax.dynamic_update_slice_in_dim(
+                block["v"], split_heads(v, heads), block_index, 2)
+            attn = shared_prefix_attention(
+                q, shared["k"], shared["v"], bk, bv, index0, block_index)
+            h = blocks.residual(layer["self_attn"]["res"], attn, x0,
+                                pos_cond_emb, bcfg.act)
+            new_blocks.append({"k": bk, "v": bv})
+
+            if cfg.use_encoder:
+                x0 = h
+                xn = blocks.block_norm(layer["cross_attn"]["norm"], bcfg, h,
+                                       pos_cond_emb)
+                q2 = blocks.project_q(layer["cross_attn"]["attn"], xn,
+                                      bcfg.act)
+                attn2 = shared_cross_attention(q2, ckv["k"], ckv["v"])
+                h = blocks.residual(layer["cross_attn"]["res"], attn2, x0,
+                                    pos_cond_emb, bcfg.act)
+
+            h = blocks.ffn_block(layer["ffn"], bcfg, h, cond=pos_cond_emb)
+
+        return self.classify(params, h)[:, 0], new_blocks
+
+    def merge_block_caches(self, shared_caches, block_caches, index0):
+        """Write the (selected) per-rollout blocks back into the shared
+        prefix at ``index0`` — one slice update per layer per segment."""
+        merged = []
+        for shared, block in zip(shared_caches, block_caches):
+            merged.append({
+                "k": jax.lax.dynamic_update_slice_in_dim(
+                    shared["k"], block["k"].astype(shared["k"].dtype),
+                    index0, 2),
+                "v": jax.lax.dynamic_update_slice_in_dim(
+                    shared["v"], block["v"].astype(shared["v"].dtype),
+                    index0, 2),
+            })
+        return merged
+
     def window_forward(self, params, tokens, pos_cond=None, cross_kv=None,
                        last_only=False):
         """Full decoder forward over a fixed window with *precomputed* cross

@@ -109,6 +109,78 @@ def dot_product_attention(q, k, v, heads, causal=False, kv_mask=None,
     return merge_heads(out).astype(q.dtype)
 
 
+def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
+                            index0, block_index):
+    """Beam-rollout decode attention over a SHARED prefix cache plus a
+    per-rollout block.
+
+    Rollouts of the same batch element share every token generated before
+    the current segment, so the big prefix cache stays at N rows and only
+    the segment's new K/V are per-rollout — this removes the dominant
+    tile/select traffic of beam search.
+
+    Args:
+      q: (N*B, 1, D) new-token queries (B rollouts per element, grouped
+        [n0b0, n0b1, ..., n1b0, ...]).
+      k_shared, v_shared: (N, H, S, dh) shared prefix (valid slots <
+        ``index0``).
+      k_block, v_block: (N*B, H, bw, dh) per-rollout segment K/V (valid
+        slots <= ``block_index``).
+      index0: scalar — shared prefix length.
+      block_index: scalar — current position within the segment.
+
+    Returns (N*B, 1, D).
+    """
+    nb, _, d = q.shape
+    n, heads, s, dh = k_shared.shape
+    b = nb // n
+    bw = k_block.shape[2]
+    scale = 1.0 / math.sqrt(dh)
+
+    qh = split_heads(q, heads)                      # (N*B, H, 1, dh)
+    qg = qh.reshape(n, b, heads, 1, dh)
+
+    s_shared = jnp.einsum("nbhqd,nhkd->nbhqk", qg, k_shared,
+                          preferred_element_type=jnp.float32) * scale
+    s_shared = s_shared.reshape(nb, heads, 1, s)
+    valid_shared = (jnp.arange(s) < index0)[None, None, None, :]
+    s_shared = jnp.where(valid_shared, s_shared, NEG_INF)
+
+    s_block = jnp.einsum("nhqd,nhkd->nhqk", qh, k_block,
+                         preferred_element_type=jnp.float32) * scale
+    valid_block = (jnp.arange(bw) <= block_index)[None, None, None, :]
+    s_block = jnp.where(valid_block, s_block, NEG_INF)
+
+    scores = jnp.concatenate([s_shared, s_block], axis=-1)
+    weights = jax.nn.softmax(scores, axis=-1)
+    w_shared = weights[..., :s].reshape(n, b, heads, 1, s)
+    w_block = weights[..., s:]
+
+    out = jnp.einsum("nbhqk,nhkd->nbhqd", w_shared, v_shared,
+                     preferred_element_type=jnp.float32).reshape(
+                         nb, heads, 1, dh)
+    out = out + jnp.einsum("nhqk,nhkd->nhqd", w_block, v_block,
+                           preferred_element_type=jnp.float32)
+    return merge_heads(out).astype(q.dtype)
+
+
+def shared_cross_attention(q, k_shared, v_shared):
+    """Cross-attention where K/V ((N, H, S, dh), all slots valid) are shared
+    across B rollouts; q is (N*B, 1, D)."""
+    nb, _, d = q.shape
+    n, heads, s, dh = k_shared.shape
+    b = nb // n
+    scale = 1.0 / math.sqrt(dh)
+
+    qg = split_heads(q, heads).reshape(n, b, heads, 1, dh)
+    scores = jnp.einsum("nbhqd,nhkd->nbhqk", qg, k_shared,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("nbhqk,nhkd->nbhqd", weights, v_shared,
+                     preferred_element_type=jnp.float32)
+    return merge_heads(out.reshape(nb, heads, 1, dh)).astype(q.dtype)
+
+
 def decode_attention_presplit(q, k_cache, v_cache, kv_mask):
     """Single-token attention against head-split caches.
 

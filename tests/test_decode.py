@@ -146,6 +146,53 @@ def test_fast_step_matches_full_forward(rng, use_encoder, use_pos):
                                    err_msg=f"position {i}")
 
 
+@pytest.mark.parametrize("use_pos", [False, True])
+def test_shared_prefix_rollout_matches_tiled(rng, use_pos):
+    """The shared-prefix beam segment must reproduce the legacy
+    tile-everything path exactly: same winning tokens, same final logits,
+    and the merged shared cache must equal the winner's tiled cache."""
+    import jax
+    from qaig_tpu.infer.decode import (DecodeEngine, SamplerSettings, _tile,
+                                       _select_beam)
+
+    cfg = _small_cfg(use_encoder=True, use_pos_cond=use_pos)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(4))
+    engine = DecodeEngine(model)
+    settings = SamplerSettings(temperature=1.0, end_token=11,
+                               end_mode="mask", index_shift=0)
+
+    n, num_beam, bw = 2, 3, 4
+    init = jnp.asarray(rng.integers(0, cfg.num_dec_embedding, (n, 1)))
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+
+    state = engine.init_state(params, init, 12, x_enc=x_enc,
+                              sliding_window=16 if use_pos else None)
+    seg_rng = jax.random.PRNGKey(11)
+
+    # legacy: tile everything, decode, select
+    tiled = _tile(state.arrays, num_beam)
+    t_arrays, t_tokens, t_logp = engine._cached_segment(
+        params, tiled, seg_rng, bw, settings)
+    winner = jnp.argmax(t_logp.reshape(n, num_beam), axis=1)
+    want_tokens = _select_beam(t_tokens, winner, num_beam)
+    want_logits = _select_beam(t_arrays["logits"], winner, num_beam)
+    want_caches = _select_beam(t_arrays["caches"], winner, num_beam)
+
+    # shared-prefix fast path with the same segment rng
+    new_arrays, got_tokens = engine._rollout_segment(
+        params, state.arrays, seg_rng, bw, num_beam, settings)
+
+    np.testing.assert_array_equal(np.asarray(got_tokens),
+                                  np.asarray(want_tokens))
+    np.testing.assert_allclose(np.asarray(new_arrays["logits"]),
+                               np.asarray(want_logits), atol=1e-4)
+    for got_c, want_c in zip(new_arrays["caches"], want_caches):
+        for key in ("k", "v"):
+            np.testing.assert_allclose(np.asarray(got_c[key]),
+                                       np.asarray(want_c[key]), atol=1e-4)
+
+
 def test_remat_matches_no_remat(rng):
     """use_remat (the reference's activation checkpointing) must not change
     outputs or gradients."""
