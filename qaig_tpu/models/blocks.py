@@ -18,7 +18,6 @@ recompute-the-window decode loop.
 """
 
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ teacher-forcing path.
 """
 
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ fallback for small shapes / CPU tests.
 """
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ feature-map cache); these are pure reshape/transpose ops that XLA folds into
 neighbouring computations, so no separate NHWC variant is needed.
 """
 
-import jax.numpy as jnp
-
 
 def patchify(image, patch_dim=(4, 4)):
     """(N, C, H, W) -> (N, (H/pH)*(W/pW), C*pH*pW)."""
