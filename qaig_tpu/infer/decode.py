@@ -160,7 +160,13 @@ class DecodeEngine:
                     cross_kv = model.make_cross_kv(params, enc_out)
                 caches = model.init_cache(
                     n, total_len, params["dec_embedding"]["w"].dtype)
-                pos_cond = jnp.zeros((n, p), jnp.float32) if use_pos else None
+                # Pre-slide positions == absolute slot indices 0..P-1 (the
+                # reference's zero start generalized to multi-token grids,
+                # e.g. base mode with a full LR conditioning grid,
+                # ``train_quantized_transformer.py:583-590``).
+                pos_cond = (jnp.broadcast_to(
+                    jnp.arange(p, dtype=jnp.float32)[None], (n, p))
+                    if use_pos else None)
                 logits, caches = model.prefill(params, init_tokens, caches,
                                                cross_kv=cross_kv,
                                                pos_cond=pos_cond)
@@ -296,10 +302,12 @@ class DecodeEngine:
     # windowed state / segment
     # ------------------------------------------------------------------
 
-    def _windowed_from_cached(self, arrays, window, gen_count):
+    def _windowed_from_cached(self, arrays, window, init_len, gen_count):
         """Static conversion at the first slide: context length == window;
         the reference drops the first token and runs on the remaining
-        (window - 1) with their absolute positions."""
+        (window - 1) with their absolute positions.  ``pos_next`` is the
+        absolute slot index of the next generated token
+        (= init_len + gen_count)."""
         ctx = arrays["ctx"]
         n = ctx.shape[0]
         tok_buf = ctx[:, 1:window]
@@ -307,7 +315,7 @@ class DecodeEngine:
             jnp.arange(1, window, dtype=jnp.float32)[None], (n, window - 1))
         return {"tok_buf": tok_buf, "pos_buf": pos_buf,
                 "cross_kv": arrays["cross_kv"],
-                "gen_count": jnp.asarray(gen_count, jnp.int32)}
+                "pos_next": jnp.asarray(init_len + gen_count, jnp.int32)}
 
     def _windowed_segment(self, params, arrays, rng, num_steps,
                           settings: SamplerSettings):
@@ -320,27 +328,26 @@ class DecodeEngine:
                 cross_kv = arrays["cross_kv"]
 
                 def body(carry, step_rng):
-                    tok_buf, pos_buf, gen_count, logp = carry
+                    tok_buf, pos_buf, pos_next, logp = carry
                     logits = model.window_forward(
                         params, tok_buf, pos_cond=pos_buf, cross_kv=cross_kv,
                         last_only=True)[:, 0]
                     token, prob = _sample(logits, step_rng, settings)
-                    new_pos = (gen_count + 1).astype(jnp.float32)
                     tok_buf = jnp.roll(tok_buf, -1, axis=1).at[:, -1].set(
                         token.astype(tok_buf.dtype))
                     pos_buf = jnp.roll(pos_buf, -1, axis=1).at[:, -1].set(
-                        new_pos)
+                        pos_next.astype(jnp.float32))
                     logp = logp + jnp.log(jnp.maximum(prob, 1e-38))
-                    return (tok_buf, pos_buf, gen_count + 1, logp), token
+                    return (tok_buf, pos_buf, pos_next + 1, logp), token
 
                 keys = jax.random.split(rng, num_steps)
                 n = arrays["tok_buf"].shape[0]
                 carry = (arrays["tok_buf"], arrays["pos_buf"],
-                         arrays["gen_count"], jnp.zeros(n))
-                (tok_buf, pos_buf, gen_count, logp), tokens = jax.lax.scan(
+                         arrays["pos_next"], jnp.zeros(n))
+                (tok_buf, pos_buf, pos_next, logp), tokens = jax.lax.scan(
                     body, carry, keys)
                 new_arrays = dict(arrays, tok_buf=tok_buf, pos_buf=pos_buf,
-                                  gen_count=gen_count)
+                                  pos_next=pos_next)
                 return new_arrays, tokens.T, logp
             return fn
 
@@ -365,10 +372,10 @@ class DecodeEngine:
         if self.model.cfg.use_pos_cond:
             if sliding_window is None:
                 raise ValueError("use_pos_cond model needs sliding_window")
-            if init_len != 1:
+            if init_len >= sliding_window:
                 raise ValueError(
-                    "sliding-window decode expects a single conditioning "
-                    "token (reference zero-position contract)")
+                    "conditioning grid must be shorter than the sliding "
+                    f"window (init_len={init_len} >= {sliding_window})")
             # cached while context < window; cache sized for the pre-slide
             # phase only.
             total = min(init_len + num_new_tokens, sliding_window)
@@ -433,7 +440,8 @@ class DecodeEngine:
             if state.gen_count >= state.window - state.init_len \
                     and num_steps > k:
                 state.arrays = self._windowed_from_cached(
-                    state.arrays, state.window, state.gen_count)
+                    state.arrays, state.window, state.init_len,
+                    state.gen_count)
                 state.mode = "windowed"
             num_steps -= k
         if num_steps > 0:

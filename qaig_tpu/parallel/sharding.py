@@ -48,6 +48,20 @@ def transformer_param_spec(params):
     return unflatten_tree(spec_flat, like=params)
 
 
+def shard_opt_state(mesh, optimizer, opt_state, param_spec):
+    """Place optimizer state on the mesh with param-like leaves (Adam mu/nu)
+    sharded exactly like their parameters and everything else (step counts)
+    replicated — so TP training never gathers first/second moments."""
+    import optax
+
+    def place(leaf, spec):
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return optax.tree_map_params(
+        optimizer, place, opt_state, param_spec,
+        transform_non_params=lambda leaf: place(leaf, P()))
+
+
 def shard_tree(mesh, tree, spec_tree=None):
     """Device-put a pytree with the given spec tree (replicated if None)."""
     if spec_tree is None:

@@ -115,7 +115,11 @@ def run(args):
             except Exception as e:
                 log.info(f"Could not restore optimizer state: {e}")
 
-    mesh = make_mesh_for_batch(batch_size)
+    # Conv nets carry no tensor-parallel spec; --num-model-shards still
+    # shapes the mesh (data axis shrinks) so mixed-stage pipelines can run
+    # every stage on the same mesh geometry.
+    mesh = make_mesh_for_batch(batch_size,
+                               n_model=int(args.get("num_model_shards") or 1))
     data_sharding = batch_sharding(mesh, ndim=4)
     params = shard_tree(mesh, params)
     opt_state = shard_tree(mesh, opt_state)

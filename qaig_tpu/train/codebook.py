@@ -99,7 +99,8 @@ def run(args):
     optimizer = optim.make_adam(model_lr, lr_update_step)
     opt_state = optimizer.init(params)
 
-    mesh = make_mesh_for_batch(batch_size)
+    mesh = make_mesh_for_batch(batch_size,
+                               n_model=int(args.get("num_model_shards") or 1))
     data_sharding = batch_sharding(mesh, ndim=4)
     params = shard_tree(mesh, params)
     opt_state = shard_tree(mesh, opt_state)

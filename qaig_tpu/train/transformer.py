@@ -29,6 +29,8 @@ from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
 from qaig_tpu.models.transformer import Transformer, TransformerConfig
 from qaig_tpu.parallel import batch_sharding, shard_tree
 from qaig_tpu.parallel.mesh import make_mesh_for_batch
+from qaig_tpu.parallel.sharding import (shard_opt_state,
+                                        transformer_param_spec)
 from qaig_tpu.train import common, optim
 from qaig_tpu.utils import save_model, load_model, save_images
 from qaig_tpu.utils.logging_utils import setup_logging
@@ -260,10 +262,19 @@ def run(args):
             except Exception as e:
                 log.info(f"Could not restore optimizer state: {e}")
 
-    mesh = make_mesh_for_batch(batch_size)
+    # DP over the mesh's data axis; Megatron-style TP of every 2-layer MLP
+    # over the model axis (--num-model-shards).  With one model shard the
+    # spec degenerates to replicated, so the same code path always runs.
+    n_model = int(args.get("num_model_shards") or 1)
+    if cfg.hidden_dim % n_model:
+        raise ValueError(
+            f"hidden_dim {cfg.hidden_dim} not divisible by "
+            f"--num-model-shards {n_model}")
+    mesh = make_mesh_for_batch(batch_size, n_model=n_model)
     data_sharding = batch_sharding(mesh, ndim=4)
-    params = shard_tree(mesh, params)
-    opt_state = shard_tree(mesh, opt_state)
+    param_spec = transformer_param_spec(params)
+    params = shard_tree(mesh, params, param_spec)
+    opt_state = shard_opt_state(mesh, optimizer, opt_state, param_spec)
     lr_params = shard_tree(mesh, lr_params)
     hr_params = shard_tree(mesh, hr_params)
 
@@ -299,6 +310,7 @@ def run(args):
     log.info(f"High Res Num Embeddings: {hr_num_embeddings:,}")
     log.info("#" * 100)
     log.info("Transformer Parameters.")
+    log.info(f"Mesh: data={mesh.shape['data']} x model={mesh.shape['model']}")
     if use_sliding_window:
         log.info(f"Sliding Window: {sliding_window:,}")
     log.info(f"Num Decoder Embedding: {cfg.num_dec_embedding:,}")

@@ -281,3 +281,81 @@ def test_window_forward_matches_apply(rng):
                                     cross_kv=cross_kv, last_only=True)
     np.testing.assert_allclose(np.asarray(got_last[:, 0]),
                                np.asarray(want[:, -1]), atol=1e-4)
+
+
+def test_base_mode_multitoken_sliding_decode_matches_oracle(rng):
+    """Base-model + sliding-window decode with a multi-token LR conditioning
+    grid (reference ``train_quantized_transformer.py:583-620`` base path):
+    the prefill must condition slot i with absolute position i (0..P-1), and
+    generated tokens continue P, P+1, ...  Trajectory-exact against a
+    full-forward re-enactment with the same key schedule."""
+    import jax
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings, _sample
+
+    lr_k, hr_k = 6, 10
+    cfg = _small_cfg(use_encoder=False, use_pos_cond=True,
+                     num_dec_embedding=lr_k + hr_k, out_dim=hr_k + 1)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(5))
+
+    n, p, window, steps = 2, 4, 6, 12
+    init = jnp.asarray(rng.integers(0, lr_k, (n, p)), jnp.int32)
+    settings = SamplerSettings(temperature=1.0, end_token=hr_k,
+                               end_mode="replace_zero", index_shift=lr_k)
+
+    root = jax.random.PRNGKey(13)
+    engine = DecodeEngine(model)
+    got = np.asarray(engine.generate(params, init, steps, root, settings,
+                                     sliding_window=window))
+
+    # replicate the engine's key schedule (segment -> _cached_run -> scan)
+    n_cached = window - p
+    r1, seg = jax.random.split(root)
+    _, seg2 = jax.random.split(seg)
+    keys = list(jax.random.split(seg2, n_cached)) + \
+        list(jax.random.split(r1, steps - n_cached))
+
+    # oracle: full forward over the sliced context, absolute positions
+    tokens = init
+    pos = jnp.broadcast_to(jnp.arange(p, dtype=jnp.float32)[None], (n, p))
+    start_idx = 0
+    out = []
+    for s in range(steps):
+        if tokens.shape[1] >= window:
+            start_idx += 1
+            pos = pos[:, 1:]
+        win = tokens[:, start_idx:]
+        logits = model.apply(params, win, pos_cond=pos)[:, -1]
+        token, _ = _sample(logits, keys[s], settings)
+        out.append(np.asarray(token))
+        tokens = jnp.concatenate([tokens, token[:, None]], axis=1)
+        pos = jnp.concatenate(
+            [pos, jnp.full((n, 1), p + s, jnp.float32)], axis=1)
+
+    want = np.stack(out, axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_base_mode_multitoken_rollout_generate_runs(rng):
+    """Rollout beam decode over a multi-token pos-cond conditioning grid
+    (previously raised ValueError) produces valid HR-vocab tokens."""
+    import jax
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+
+    lr_k, hr_k = 6, 10
+    cfg = _small_cfg(use_encoder=False, use_pos_cond=True,
+                     num_dec_embedding=lr_k + hr_k, out_dim=hr_k + 1)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(6))
+
+    n, p, window, steps = 2, 4, 6, 12
+    init = jnp.asarray(rng.integers(0, lr_k, (n, p)), jnp.int32)
+    settings = SamplerSettings(temperature=1.0, end_token=hr_k,
+                               end_mode="mask", index_shift=lr_k)
+    engine = DecodeEngine(model)
+    tokens = engine.rollout_generate(
+        params, init, steps, jax.random.PRNGKey(2), settings,
+        num_beam=2, beam_width=4, sliding_window=window)
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (n, steps)
+    assert tokens.min() >= lr_k and tokens.max() < lr_k + hr_k

@@ -36,6 +36,9 @@ def main():
     parser.add_argument("--config-path", required=True, type=pathlib.Path)
     parser.add_argument("--log-every", type=int, default=1,
                         help="Sync loss to host every N steps (1 = reference behavior).")
+    parser.add_argument("--num-model-shards", type=int, default=1,
+                        help="Tensor-parallel shards over the mesh's model "
+                             "axis (1 = pure data parallel).")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
