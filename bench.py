@@ -7,11 +7,14 @@ latent, transformers with in_dim 512 / hidden 2048 / 7 decoder layers
 (5 encoder layers for cascade stages, sliding window 256 on the final
 stage), followed by codebook lookup + FC decode to 128x128x3 pixels.
 Weights are random (throughput does not depend on values); params run in
-bfloat16 on the MXU.
+bfloat16 on the MXU.  With >1 visible chip the batch is sharded over a
+('data',) mesh and all figures are reported per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the ratio against the 20 img/s/chip north-star target
-(BASELINE.md — the reference publishes no numbers).
+Prints ONE JSON line with the headline metric plus the machine-honest
+ledger: decode tokens/sec (sampled tokens and computed model token-steps —
+beam rollouts recompute steps), MFU against the chip's bf16 peak (FLOPs
+from XLA's compiled cost analysis), per-iteration times and spread, and an
+explicit "mode" so a fallback run can never masquerade as a beams run.
 """
 
 import argparse
@@ -29,6 +32,17 @@ from qaig_tpu.models.transformer import Transformer, TransformerConfig
 from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
 
 TARGET_IMG_PER_SEC = 20.0
+
+# bf16 peak FLOPs/sec per chip by device kind (dense; MXU).
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
 def to_bf16(tree):
@@ -137,21 +151,57 @@ def run_cascade(stages, decoder, dec_params, num_images, stage_params, rng,
                 params, init, st["total_seq"], gen_rng, st["settings"],
                 x_enc=x_enc, sliding_window=st["window"])
         tokens = out - st["settings"].index_shift
+    return tokens
 
+
+def decode_pixels(stages, decoder, dec_params, tokens):
     hr_cb, hr_params = stages[-1]["hr"]
     quant = hr_cb.get_quantized_image(hr_params, tokens).astype(jnp.bfloat16)
     return decoder.apply(dec_params, quant)
+
+
+def token_counts(stages, use_beams):
+    """(sampled tokens, computed model token-steps) per image.  Beam
+    rollouts run every generated position num_beam times."""
+    sampled = sum(st["total_seq"] for st in stages)
+    computed = sum(
+        st["total_seq"] * (st["num_beam"] if use_beams else 1)
+        for st in stages)
+    return sampled, computed
+
+
+def compiled_flops(compiled):
+    """Total FLOPs of one compiled cascade call, from XLA's cost analysis
+    (None when the backend does not report it)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
+def peak_flops_per_chip():
+    kind = jax.devices()[0].device_kind
+    for name, peak in PEAK_FLOPS.items():
+        if kind.lower().startswith(name.lower()):
+            return peak, kind
+    return None, kind
 
 
 def main():
     parser = argparse.ArgumentParser()
     # 256 peaks (133.7 img/s) but compiles longer; 128 (122.8 img/s) keeps a
     # cold-process run around 5 minutes end to end.
-    parser.add_argument("--batch", type=int, default=128)
-    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--batch", type=int, default=128,
+                        help="images per chip per iteration")
+    parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--scale", choices=["full", "smoke"], default="full")
     parser.add_argument("--breakdown", action="store_true",
-                        help="print per-stage timings to stderr")
+                        help="also time each cascade stage separately "
+                             "(extra compiles; adds a 'stages' JSON field)")
     parser.add_argument("--no-beams", action="store_true",
                         help="single-path temperature sampling (no rollout "
                              "beam search)")
@@ -162,83 +212,148 @@ def main():
         args.scale = "smoke"
 
     try:
-        _run(args)
+        _run(args, mode=("single" if args.no_beams else "beams"))
     except Exception as e:  # never leave the driver without a metric line
         import sys
         print(f"bench: beams path failed ({type(e).__name__}: {e}); "
               f"falling back to single-path sampling", file=sys.stderr)
         args.no_beams = True
         args.batch = min(args.batch, 128)
-        _run(args)
+        _run(args, mode="single_fallback")
 
 
-def _run(args):
-
+def _run(args, mode):
     stages, decoder, dec_params = build_cascade(args.scale)
     stage_params = [st["params"] for st in stages]
 
+    # >1 chip: shard the image batch over a ('data',) mesh; params stay
+    # replicated, so the whole decode runs collective-free per chip.
+    n_chips = len(jax.devices())
+    global_batch = args.batch * n_chips
+    if n_chips > 1:
+        from qaig_tpu.parallel import batch_sharding, shard_tree
+        from qaig_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=n_chips, n_model=1)
+        stage_params = [shard_tree(mesh, p) for p in stage_params]
+        dec_params = shard_tree(mesh, dec_params)
+
+    use_beams = not args.no_beams
     # ONE jitted program for the whole cascade: a single device dispatch per
     # batch (per-stage dispatch round-trips dominate otherwise).
-    use_beams = not args.no_beams
     cascade = jax.jit(
-        lambda sp, dp, rng: run_cascade(stages, decoder, dp, args.batch,
-                                        sp, rng, use_beams=use_beams))
+        lambda sp, dp, rng: decode_pixels(
+            stages, decoder, dp,
+            run_cascade(stages, decoder, dp, global_batch, sp, rng,
+                        use_beams=use_beams)))
 
     rng = jax.random.PRNGKey(7)
 
     # warmup / compile
-    img = cascade(stage_params, dec_params, rng)
+    lowered = cascade.lower(stage_params, dec_params, rng)
+    compiled = lowered.compile()
+    flops_per_call = compiled_flops(compiled)
+    img = compiled(stage_params, dec_params, rng)
     _ = float(jnp.sum(img.astype(jnp.float32)))
 
+    stage_times = None
     if args.breakdown:
-        import sys
-        k = stages[0]["k"]
-        rng2, init_rng = jax.random.split(rng)
-        tokens = jax.random.randint(init_rng, (args.batch, 1), 0, k)
-        for i, st in enumerate(stages):
-            rng2, gen_rng = jax.random.split(rng2)
-            if st["base"]:
-                init, x_enc = tokens, None
-            else:
-                init = jnp.full((args.batch, 1), st["k"], jnp.int32)
-                x_enc = tokens
-            t0 = time.time()
-            out = st["engine"].generate(
-                st["params"], init, st["total_seq"], gen_rng, st["settings"],
-                x_enc=x_enc, sliding_window=st["window"])
-            _ = float(jnp.sum(out))
-            print(f"stage{i}: {st['total_seq']} tokens "
-                  f"{time.time() - t0:.3f}s", file=sys.stderr)
-            tokens = out - st["settings"].index_shift
-        t0 = time.time()
-        hr_cb_m, hr_params = stages[-1]["hr"]
-        quant = hr_cb_m.get_quantized_image(hr_params, tokens)
-        img = jax.jit(decoder.apply)(dec_params,
-                                     quant.astype(jnp.bfloat16))
-        _ = float(jnp.sum(img.astype(jnp.float32)))
-        print(f"pixel decode: {time.time() - t0:.3f}s", file=sys.stderr)
+        stage_times = _stage_breakdown(args, stages, decoder, dec_params,
+                                       stage_params, global_batch, use_beams)
 
-    # Fresh engines reuse their jit caches; time N full cascades chained on
-    # device, forcing execution with a single scalar fetch at the end
+    # Timed iterations; each forces execution with a scalar fetch
     # (block_until_ready alone does not wait under the axon relay).
-    t0 = time.time()
-    acc = jnp.zeros((), jnp.float32)
+    times = []
     for i in range(args.iters):
         rng, it_rng = jax.random.split(rng)
-        img = cascade(stage_params, dec_params, it_rng)
-        acc = acc + jnp.sum(img.astype(jnp.float32))
-    _ = float(acc)
-    elapsed = time.time() - t0
+        t0 = time.time()
+        img = compiled(stage_params, dec_params, it_rng)
+        _ = float(jnp.sum(img.astype(jnp.float32)))
+        times.append(time.time() - t0)
 
-    images = args.batch * args.iters
+    times = np.asarray(times)
+    elapsed = float(times.sum())
+    images = global_batch * args.iters
     img_per_sec = images / elapsed
+    img_per_sec_chip = img_per_sec / n_chips
+
+    sampled_per_img, computed_per_img = token_counts(stages, use_beams)
+    peak, kind = peak_flops_per_chip()
+    mfu = None
+    if flops_per_call and peak:
+        mfu = (flops_per_call / float(times.mean())) / (peak * n_chips)
+
     result = {
         "metric": "cascade_images_per_sec_per_chip",
-        "value": round(img_per_sec, 3),
+        "value": round(img_per_sec_chip, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / TARGET_IMG_PER_SEC, 3),
+        "vs_baseline": round(img_per_sec_chip / TARGET_IMG_PER_SEC, 3),
+        "mode": mode,
+        "scale": args.scale,
+        "n_chips": n_chips,
+        "device_kind": kind,
+        "batch_per_chip": args.batch,
+        "iters": args.iters,
+        "decode_tokens_per_sec_per_chip": round(
+            img_per_sec_chip * sampled_per_img, 1),
+        "model_token_steps_per_sec_per_chip": round(
+            img_per_sec_chip * computed_per_img, 1),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "flops_per_image": (round(flops_per_call / global_batch)
+                            if flops_per_call else None),
+        "iter_time_mean_s": round(float(times.mean()), 4),
+        "iter_time_std_s": round(float(times.std()), 4),
+        "iter_time_min_s": round(float(times.min()), 4),
+        "iter_time_max_s": round(float(times.max()), 4),
+        "stages": stage_times,
     }
     print(json.dumps(result))
+
+
+def _stage_breakdown(args, stages, decoder, dec_params, stage_params,
+                     global_batch, use_beams):
+    """Per-stage wall times (separate programs, so absolute numbers carry
+    dispatch overhead the fused cascade doesn't pay)."""
+    out = {}
+    rng = jax.random.PRNGKey(11)
+    k = stages[0]["k"]
+    rng, init_rng = jax.random.split(rng)
+    tokens = jax.random.randint(init_rng, (global_batch, 1), 0, k)
+    for i, (st, params) in enumerate(zip(stages, stage_params)):
+        rng, gen_rng = jax.random.split(rng)
+        if st["base"]:
+            init, x_enc = tokens, None
+        else:
+            init = jnp.full((global_batch, 1), st["k"], jnp.int32)
+            x_enc = tokens
+
+        def run_once(r):
+            if use_beams:
+                o = st["engine"].rollout_generate(
+                    params, init, st["total_seq"], r, st["settings"],
+                    num_beam=st["num_beam"], beam_width=st["beam_width"],
+                    x_enc=x_enc, sliding_window=st["window"])
+            else:
+                o = st["engine"].generate(
+                    params, init, st["total_seq"], r, st["settings"],
+                    x_enc=x_enc, sliding_window=st["window"])
+            return o
+
+        o = run_once(gen_rng)  # warm
+        _ = int(jnp.sum(o))
+        t0 = time.time()
+        o = run_once(gen_rng)
+        _ = int(jnp.sum(o))
+        out[f"stage{i}"] = {
+            "tokens": st["total_seq"],
+            "num_beam": st["num_beam"] if use_beams else 1,
+            "time_s": round(time.time() - t0, 4)}
+        tokens = o - st["settings"].index_shift
+    t0 = time.time()
+    img = jax.jit(lambda dp, t: decode_pixels(stages, decoder, dp, t))(
+        dec_params, tokens)
+    _ = float(jnp.sum(img.astype(jnp.float32)))
+    out["pixel_decode"] = {"time_s": round(time.time() - t0, 4)}
+    return out
 
 
 if __name__ == "__main__":

@@ -16,6 +16,9 @@ def main():
     parser.add_argument("--num-images", type=int, default=25)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--config-path", required=True, type=pathlib.Path)
+    parser.add_argument("--profile-dir", default=None, type=pathlib.Path,
+                        help="Capture a jax.profiler trace of the cascade "
+                             "generation here.")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)

@@ -18,8 +18,29 @@ import numpy as np
 
 from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
 from qaig_tpu.models.transformer import Transformer, TransformerConfig
+from qaig_tpu.parallel import batch_sharding, shard_tree
+from qaig_tpu.parallel.mesh import make_mesh_for_batch
 from qaig_tpu.train import common
 from qaig_tpu.utils import load_model, save_images
+
+
+def make_decode_mesh(num_images, n_model=1):
+    """Mesh for sharded batch generation: the image batch is split over the
+    data axis (every chip decodes its slice of the batch; XLA keeps the
+    whole decode collective-free since params are replicated)."""
+    return make_mesh_for_batch(num_images, n_model=n_model)
+
+
+def shard_decode_inputs(mesh, params, init_tokens, x_enc=None):
+    """Replicate params over the mesh and shard the token batch over
+    'data'.  GSPMD propagates the batch sharding through the whole decode
+    (KV caches, scan carries, sampling)."""
+    params = shard_tree(mesh, params)
+    spec = batch_sharding(mesh, ndim=2)
+    init_tokens = jax.device_put(init_tokens, spec)
+    if x_enc is not None:
+        x_enc = jax.device_put(x_enc, spec)
+    return params, init_tokens, x_enc
 
 
 def transformer_from_checkpoint(ckpt, logging=print):
@@ -49,9 +70,15 @@ def transformer_from_checkpoint(ckpt, logging=print):
 def generate_stage_tokens(model, params, stage_cfg, num_images, rng,
                           is_base_stage, lr_num_embeddings,
                           hr_num_embeddings, total_seq, sliding_window,
-                          lr_input=None, init_tokens=None):
-    """Run one cascade stage; returns HR-vocabulary tokens (N, total_seq)."""
+                          lr_input=None, init_tokens=None, mesh=None):
+    """Run one cascade stage; returns HR-vocabulary tokens (N, total_seq).
+
+    With ``mesh``, the batch is sharded over the mesh's data axis (params
+    replicated) so generation scales across chips."""
     engine = DecodeEngine(model)
+    if mesh is not None:
+        params, init_tokens, lr_input = shard_decode_inputs(
+            mesh, params, init_tokens, lr_input)
 
     if is_base_stage:
         shift = lr_num_embeddings
@@ -79,6 +106,11 @@ def run(args):
     out_dir = common.ensure_dir(args["out_dir"])
     num_images = args.get("num_images", 25)
     rng = jax.random.PRNGKey(args.get("seed") or 0)
+    profiler = common.Profiler(args)
+    # Sharded batch generation: every chip decodes its slice of the batch.
+    mesh = make_decode_mesh(num_images)
+    print(f"Generation mesh: data={mesh.shape['data']} "
+          f"x model={mesh.shape['model']}")
 
     config_dict = common.load_config(args["config_path"])
 
@@ -90,6 +122,9 @@ def run(args):
     decode_image = jax.jit(decoder.apply)
 
     prev_tokens = None
+    if profiler.dir:
+        jax.profiler.start_trace(str(profiler.dir))
+        profiler.active = True
     for index, stage_cfg in config_dict.items():
         print(f"Model: {int(index):,}")
 
@@ -125,9 +160,14 @@ def run(args):
 
         is_base_stage = index == "0"
         if is_base_stage:
+            # Random LR conditioning grid (reference uses (N, 1) because its
+            # published stage-0 codebook is single-patch,
+            # ``generate_images.py:217-221``; generalized to the codebook's
+            # full token grid).
             rng, init_rng = jax.random.split(rng)
             init_tokens = jax.random.randint(
-                init_rng, (num_images, 1), 0, lr_num_embeddings)
+                init_rng, (num_images, lr_codebook.seq_len), 0,
+                lr_num_embeddings)
             lr_input = None
             # save the conditioning reconstruction, like the reference
             lr_quant = lr_codebook.get_quantized_image(lr_params, init_tokens)
@@ -142,7 +182,7 @@ def run(args):
         tokens = generate_stage_tokens(
             model, params, stage_cfg, num_images, gen_rng, is_base_stage,
             lr_num_embeddings, hr_num_embeddings, total_seq, sliding_window,
-            lr_input=lr_input, init_tokens=init_tokens)
+            lr_input=lr_input, init_tokens=init_tokens, mesh=mesh)
 
         hr_quant = hr_codebook.get_quantized_image(hr_params, tokens)
         recon = decode_image(dec_params, hr_quant)
@@ -150,4 +190,5 @@ def run(args):
                     logging=print)
 
         prev_tokens = tokens
+    profiler.close()
     return prev_tokens

@@ -39,16 +39,37 @@ class CascadeStage:
 
 
 class CascadePipeline:
-    """The full coarse-to-fine generation stack."""
+    """The full coarse-to-fine generation stack.
 
-    def __init__(self, stages, decoder, dec_params):
+    ``mesh``: optional ``('data', 'model')`` mesh — params are replicated
+    and every generated batch is sharded over the data axis, so serving
+    throughput scales with chips.
+    """
+
+    def __init__(self, stages, decoder, dec_params, mesh=None):
         self.stages = stages
         self.decoder = decoder
         self.dec_params = dec_params
+        self.mesh = mesh
+        if mesh is not None:
+            from qaig_tpu.parallel import shard_tree
+            self.dec_params = shard_tree(mesh, dec_params)
+            for stage in self.stages:
+                stage.params = shard_tree(mesh, stage.params)
+                stage.hr_params = shard_tree(mesh, stage.hr_params)
+                if stage.lr_params is not None:
+                    stage.lr_params = shard_tree(mesh, stage.lr_params)
         self._decode_jit = jax.jit(decoder.apply)
 
+    def _shard_batch(self, x):
+        if self.mesh is None or x is None:
+            return x
+        from qaig_tpu.parallel import batch_sharding
+        return jax.device_put(x, batch_sharding(self.mesh, ndim=x.ndim))
+
     @classmethod
-    def from_config(cls, config_dict, decoder_path, logging=print):
+    def from_config(cls, config_dict, decoder_path, logging=print,
+                    mesh=None):
         """``config_dict`` is the generate_images staged config (keys
         "0","1",... with model/codebook paths + sampling settings)."""
         status, dec_ckpt = load_model(decoder_path, logging=logging)
@@ -107,7 +128,7 @@ class CascadePipeline:
                                 if model_ckpt["use_sliding_window"]
                                 else None),
                 total_seq=total_seq, is_base=is_base))
-        return cls(stages, decoder, dec_params)
+        return cls(stages, decoder, dec_params, mesh=mesh)
 
     def generate_tokens(self, num_images, rng, init_tokens=None):
         """Run every stage; returns (final HR tokens, per-stage tokens).
@@ -125,12 +146,13 @@ class CascadePipeline:
                     tokens = jax.random.randint(
                         init_rng, (num_images, 1), 0,
                         stage.lr_num_embeddings)
-                init = tokens
+                init = self._shard_batch(tokens)
                 x_enc = None
             else:
-                init = jnp.full((num_images, 1),
-                                stage.hr_codebook.num_embeddings, jnp.int32)
-                x_enc = tokens
+                init = self._shard_batch(
+                    jnp.full((num_images, 1),
+                             stage.hr_codebook.num_embeddings, jnp.int32))
+                x_enc = self._shard_batch(tokens)
             out = stage.engine.rollout_generate(
                 stage.params, init, stage.total_seq, gen_rng, stage.settings,
                 num_beam=stage.num_beam, beam_width=stage.beam_width,

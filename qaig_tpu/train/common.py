@@ -106,13 +106,31 @@ def looks_like_torch_state(state):
                for k in state)
 
 
-def restore_model_state(model, params, state, logging=print):
+def restore_model_state(model, params, state, logging=print, key_map=None):
     """Tolerantly restore a checkpoint 'model' entry — either this
-    framework's flat state or a reference torch state_dict."""
+    framework's flat state or a reference torch state_dict.  ``key_map``
+    applies only to the native flat-state path (torch states carry their own
+    prefix rules in ``torch_compat``)."""
     if looks_like_torch_state(state):
         return torch_compat.load_torch_into(model, params, state,
                                             logging=logging)
-    return tolerant_restore(params, state, logging=logging)
+    return tolerant_restore(params, state, logging=logging, key_map=key_map)
+
+
+def submodule_key_map(keep_prefix, drop_prefixes=()):
+    """Extract one submodule from a composite flat checkpoint: strip
+    ``keep_prefix`` from matching paths, drop ``drop_prefixes`` paths, pass
+    everything else through — the native equivalent of the reference's
+    prefix-rewrite ``custom_load_state_dict`` hacks (``FC_Encoder.py:62-83``,
+    ``FC_Decoder.py:68-91``)."""
+    def key_map(name):
+        if name.startswith(keep_prefix):
+            return name[len(keep_prefix):]
+        for drop in drop_prefixes:
+            if name.startswith(drop):
+                return None
+        return name
+    return key_map
 
 
 def to_device_params(params):
@@ -145,8 +163,10 @@ def decoder_from_checkpoint(ckpt, logging=print):
         final_activation_type=ckpt["decoder_activation_type"])
     model = FCDecoder(cfg)
     params = model.init(jax.random.PRNGKey(0))
-    params = restore_model_state(model, params, ckpt["model"],
-                                 logging=logging)
+    params = restore_model_state(
+        model, params, ckpt["model"], logging=logging,
+        key_map=submodule_key_map("fc_decoder.",
+                                  drop_prefixes=("fc_encoder.",)))
     return model, params, cfg
 
 

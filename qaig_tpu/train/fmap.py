@@ -36,8 +36,10 @@ def encoder_from_checkpoint(ckpt, logging=print):
         final_activation_type=ckpt["encoder_activation_type"])
     model = FCEncoder(cfg)
     params = model.init(jax.random.PRNGKey(0))
-    params = common.restore_model_state(model, params, ckpt["model"],
-                                        logging=logging)
+    params = common.restore_model_state(
+        model, params, ckpt["model"], logging=logging,
+        key_map=common.submodule_key_map("fc_encoder.",
+                                         drop_prefixes=("fc_decoder.",)))
     return model, params, cfg
 
 

@@ -91,3 +91,41 @@ def test_sliding_window_step_on_mesh(rng):
         _, _, loss = step(params, opt_state, (lr_params, hr_params), fmap,
                           jax.random.PRNGKey(4))
     assert np.isfinite(float(loss))
+
+
+def test_sharded_batch_decode_matches_single_device(rng):
+    """Generation with the batch sharded over an 8-device data mesh (params
+    replicated) must produce the same tokens as the single-device run —
+    the product path in ``infer/generate.py``/``CascadePipeline``."""
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+    from qaig_tpu.infer.generate import make_decode_mesh, shard_decode_inputs
+
+    cfg = TransformerConfig(
+        use_encoder=True, use_pos_cond=False, num_enc_layers=1,
+        num_dec_layers=2, num_enc_embedding=8, num_dec_embedding=17,
+        self_attn_heads=2, cross_attn_heads=2, in_dim=16, out_dim=17,
+        hidden_dim=32, hidden_activation="silu")
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    n = 8
+    init = jnp.full((n, 1), 16, jnp.int32)
+    x_enc = jnp.asarray(rng.integers(0, 8, (n, 4)), jnp.int32)
+    settings = SamplerSettings(temperature=1.0, end_token=16,
+                               end_mode="mask", index_shift=0)
+    key = jax.random.PRNGKey(11)
+
+    want = np.asarray(DecodeEngine(model).rollout_generate(
+        params, init, 16, key, settings, num_beam=2, beam_width=4,
+        x_enc=x_enc))
+
+    mesh = make_decode_mesh(n)
+    assert mesh.shape["data"] == 8
+    params_s, init_s, x_enc_s = shard_decode_inputs(mesh, params, init,
+                                                    x_enc)
+    got = DecodeEngine(model).rollout_generate(
+        params_s, init_s, 16, key, settings, num_beam=2, beam_width=4,
+        x_enc=x_enc_s)
+    # the decoded batch must actually live sharded on the mesh
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(got), want)

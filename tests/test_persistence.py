@@ -176,3 +176,43 @@ def test_fmap_dataset_with_images(tmp_path, rng):
     assert fmap.shape == (2, 4, 4)
     assert image.shape == (8, 8, 3)  # HWC, reference keeps this layout
     assert image.min() >= -1.0 and image.max() <= 1.0
+
+
+def test_submodule_restore_from_autoencoder_checkpoint():
+    """Loading the standalone FC decoder/encoder out of a composite
+    autoencoder checkpoint must strip the ``fc_decoder./fc_encoder.``
+    prefixes (reference ``FC_Decoder.py:68-91`` prefix-rewrite semantics) —
+    a bare tolerant restore would silently keep random init."""
+    import jax
+    import jax.numpy as jnp
+    from qaig_tpu.models.conv_nets import Autoencoder, AutoencoderConfig
+    from qaig_tpu.train import common
+    from qaig_tpu.train.fmap import encoder_from_checkpoint
+
+    cfg = AutoencoderConfig(num_layers=1, image_channel=3, min_channel=4,
+                            max_channel=8, latent_channel=2)
+    ae = Autoencoder(cfg)
+    ae_params = ae.init(jax.random.PRNGKey(1))
+    ckpt = {
+        "num_layers": 1, "image_channel": 3, "min_channel": 4,
+        "max_channel": 8, "latent_channel": 2,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh",
+        "model": common.model_state_dict(ae_params),
+    }
+
+    skipped = []
+    _, dec_params, _ = common.decoder_from_checkpoint(
+        ckpt, logging=skipped.append)
+    want = ae_params["fc_decoder"]["layers"][0]["w"]
+    np.testing.assert_array_equal(np.asarray(dec_params["layers"][0]["w"]),
+                                  np.asarray(want))
+    assert not skipped, skipped  # every decoder leaf must land
+
+    skipped = []
+    _, enc_params, _ = encoder_from_checkpoint(ckpt, logging=skipped.append)
+    want = ae_params["fc_encoder"]["layers"][0]["w"]
+    np.testing.assert_array_equal(np.asarray(enc_params["layers"][0]["w"]),
+                                  np.asarray(want))
+    assert not skipped, skipped
