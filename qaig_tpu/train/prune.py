@@ -40,7 +40,7 @@ def usage_histogram(model, params, loader):
 def prune(model, params, counts, prune_threshold, logging=print):
     keep = np.nonzero(counts >= prune_threshold)[0]
     for i, count in enumerate(counts):
-        print(f"{i}: {count:,}")
+        logging(f"{i}: {count:,}")  # reference prune_codebook.py:144-149
     logging(f"Saved embeddings: {len(keep)}")
 
     new_model = Codebook(

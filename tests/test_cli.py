@@ -23,3 +23,112 @@ def test_cli_help(cli):
         capture_output=True, text=True, timeout=120, cwd=".")
     assert result.returncode == 0, result.stderr[-500:]
     assert "--out-dir" in result.stdout
+
+
+@pytest.mark.slow
+def test_cli_subprocess_pipeline(tmp_path):
+    """Drive all six CLIs end-to-end via subprocess on a tiny synthetic
+    dataset — covers the argparse->run wiring (type coercions, pathlib,
+    defaults) that calling run(dict) directly cannot."""
+    import json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from qaig_tpu.data.manifest import write_manifest
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+    def cli(script, *flags):
+        result = subprocess.run(
+            [sys.executable, script, "--device", "cpu", *flags],
+            capture_output=True, text=True, timeout=420, cwd=".", env=env)
+        assert result.returncode == 0, (script, result.stderr[-2000:])
+        return result
+
+    # synthetic dataset
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    for i in range(16):
+        arr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        p = str(img_dir / f"{i}.png")
+        Image.fromarray(arr).save(p)
+        rows.append({"image_fpath": p, "labels": []})
+    manifest = str(tmp_path / "dataset.json")
+    write_manifest(manifest, rows)
+
+    def cfg(name, payload):
+        path = tmp_path / name
+        path.write_text(json.dumps(payload))
+        return str(path)
+
+    ae_cfg = cfg("ae.json", {
+        "model_lr": 1e-3, "image_channel": 3, "min_channel": 8,
+        "max_channel": 16, "num_layers": 2, "latent_channel": 2,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh"})
+    ae_out = tmp_path / "ae"
+    cli("train_autoencoder.py", "--dataset-path", manifest,
+        "--config-path", ae_cfg, "--out-dir", str(ae_out),
+        "--batch-size", "4", "--checkpoint-step", "2", "--max-steps", "3")
+    ae_ckpt = str(ae_out / "models_checkpoint" / "model_2.pt")
+    assert os.path.exists(ae_ckpt)
+
+    fmap_out = tmp_path / "fmaps"
+    cli("generate_fmap_dataset.py", "--dataset-path", manifest,
+        "--model-path", ae_ckpt, "--out-dir", str(fmap_out),
+        "--batch-size", "4")
+    fmap_manifest = str(fmap_out / "all_dataset.json")
+    assert os.path.exists(fmap_manifest)
+
+    def train_cb(name, patch, k):
+        c = cfg(f"cb_{name}.json", {
+            "model_lr": 1e-2, "image_H": 4, "image_W": 4, "image_C": 2,
+            "patch_H": patch, "patch_W": patch, "num_embeddings": k,
+            "neighbourhood_step": 2})
+        out = tmp_path / f"cb_{name}"
+        cli("train_codebook.py", "--dataset-path", fmap_manifest,
+            "--decoder-path", ae_ckpt, "-c", c, "--out-dir", str(out),
+            "--batch-size", "4", "--checkpoint-step", "2",
+            "--max-steps", "3")
+        return str(out / "models_checkpoint" / "codebook_2.pt")
+
+    cb_a = train_cb("a", 4, 4)
+    cb_b = train_cb("b", 2, 8)
+
+    prune_out = tmp_path / "pruned"
+    cli("prune_codebook.py", "--dataset-path", fmap_manifest,
+        "--codebook-path", cb_b, "--prune-threshold", "0",
+        "--out-dir", str(prune_out), "--batch-size", "4")
+    assert (prune_out / "models_checkpoint" / "pruned_codebook.pt").exists()
+
+    tf_cfg = cfg("tf.json", {
+        "model_lr": 1e-3, "use_sliding_window": False,
+        "num_dec_layers": 2, "self_attn_heads": 2, "in_dim": 16,
+        "hidden_dim": 32, "hidden_activation": "silu"})
+    tf_out = tmp_path / "tf"
+    cli("train_quantized_transformer.py", "--train-base-model",
+        "--dataset-path", fmap_manifest, "--decoder-path", ae_ckpt,
+        "--lr-codebook-path", cb_a, "--hr-codebook-path", cb_b,
+        "--config-path", tf_cfg, "--out-dir", str(tf_out),
+        "--batch-size", "4", "--test-num-sample", "2",
+        "--checkpoint-step", "2", "--max-steps", "3",
+        "--num-model-shards", "2", "--skip-preview")
+    tf_ckpt = str(tf_out / "models_checkpoint" / "model_2.pt")
+    assert os.path.exists(tf_ckpt)
+
+    gen_cfg = cfg("gen.json", {
+        "0": {"model_path": tf_ckpt, "lr_codebook_path": cb_a,
+              "hr_codebook_path": cb_b, "temperature": 1.0,
+              "num_beam": 2, "beam_width": 2}})
+    gen_out = tmp_path / "gen"
+    cli("generate_images.py", "--config-path", gen_cfg,
+        "--decoder-path", ae_ckpt, "--num-images", "4",
+        "--out-dir", str(gen_out))
+    assert (gen_out / "images" / "recon_model_0.jpg").exists()
+    assert (gen_out / "images" / "recon_model_Cond.jpg").exists()
