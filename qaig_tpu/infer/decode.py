@@ -48,6 +48,13 @@ class SamplerSettings:
     end_token: int = -1         # vocabulary index of <end> (= hr_K)
     end_mode: str = "mask"      # 'mask' | 'replace_zero' | 'none'
     index_shift: int = 0        # added to sampled tokens before re-feeding
+    # Position-conditioning value for a GENERATED token at slot i is
+    # i + pos_offset.  The reference's training preview uses pos == slot
+    # (``train_quantized_transformer.py:648-652``: step+1 at slot step+1)
+    # but its generation loop appends curr_num_seq + token_count + 1
+    # (``generate_images.py:315-319``) == slot + 1 — an off-by-one quirk
+    # generate/CascadePipeline reproduce with pos_offset=1.
+    pos_offset: int = 0
 
 
 @dataclass
@@ -199,9 +206,10 @@ class DecodeEngine:
                     if has_ctx:
                         ctx = jax.lax.dynamic_update_slice(
                             ctx, token[:, None].astype(jnp.int32), (0, index))
-                    # While unslid, the token's absolute position == its slot
-                    # index (single-token init with pos 0, reference zeros).
-                    pos_val = index if use_pos else None
+                    # While unslid, a generated token's position is its slot
+                    # index (+ the sampler's generation offset).
+                    pos_val = (index + settings.pos_offset) if use_pos \
+                        else None
                     logits, caches = model.decode_step(
                         params, token, caches, index,
                         cross_kv=arrays["cross_kv"], pos_cond_value=pos_val,
@@ -264,7 +272,8 @@ class DecodeEngine:
                         ctx = jax.lax.dynamic_update_slice(
                             ctx, token[:, None].astype(jnp.int32),
                             (0, index0 + j))
-                    pos_val = index0 + j if use_pos else None
+                    pos_val = (index0 + j + settings.pos_offset) if use_pos \
+                        else None
                     logits, blocks_ = model.decode_step_shared(
                         params, token, arrays["caches"], blocks_,
                         index0, j, cross_kv_split=cross_split,
@@ -302,20 +311,24 @@ class DecodeEngine:
     # windowed state / segment
     # ------------------------------------------------------------------
 
-    def _windowed_from_cached(self, arrays, window, init_len, gen_count):
+    def _windowed_from_cached(self, arrays, window, init_len, gen_count,
+                              pos_offset=0):
         """Static conversion at the first slide: context length == window;
         the reference drops the first token and runs on the remaining
-        (window - 1) with their absolute positions.  ``pos_next`` is the
-        absolute slot index of the next generated token
-        (= init_len + gen_count)."""
+        (window - 1) with their absolute positions (conditioning-grid slots
+        keep pos == slot; generated slots get the sampler's generation
+        offset).  ``pos_next`` is the position of the next generated
+        token."""
         ctx = arrays["ctx"]
         n = ctx.shape[0]
         tok_buf = ctx[:, 1:window]
-        pos_buf = jnp.broadcast_to(
-            jnp.arange(1, window, dtype=jnp.float32)[None], (n, window - 1))
+        slots = jnp.arange(1, window, dtype=jnp.float32)
+        pos = slots + jnp.where(slots >= init_len, float(pos_offset), 0.0)
+        pos_buf = jnp.broadcast_to(pos[None], (n, window - 1))
         return {"tok_buf": tok_buf, "pos_buf": pos_buf,
                 "cross_kv": arrays["cross_kv"],
-                "pos_next": jnp.asarray(init_len + gen_count, jnp.int32)}
+                "pos_next": jnp.asarray(init_len + gen_count + pos_offset,
+                                        jnp.int32)}
 
     def _windowed_segment(self, params, arrays, rng, num_steps,
                           settings: SamplerSettings):
@@ -441,7 +454,7 @@ class DecodeEngine:
                     and num_steps > k:
                 state.arrays = self._windowed_from_cached(
                     state.arrays, state.window, state.init_len,
-                    state.gen_count)
+                    state.gen_count, pos_offset=settings.pos_offset)
                 state.mode = "windowed"
             num_steps -= k
         if num_steps > 0:

@@ -91,7 +91,8 @@ def generate_stage_tokens(model, params, stage_cfg, num_images, rng,
         temperature=stage_cfg["temperature"],
         end_token=hr_num_embeddings,
         end_mode="mask",
-        index_shift=shift)
+        index_shift=shift,
+        pos_offset=1)  # generate_images.py:315-319 position quirk
 
     tokens = engine.rollout_generate(
         params, init_tokens, total_seq, rng, settings,

@@ -117,7 +117,8 @@ class CascadePipeline:
                 temperature=stage_cfg["temperature"],
                 end_token=hr_codebook.num_embeddings,
                 end_mode="mask",
-                index_shift=(lr_codebook.num_embeddings if is_base else 0))
+                index_shift=(lr_codebook.num_embeddings if is_base else 0),
+                pos_offset=1)  # generate_images.py:315-319 position quirk
             stages.append(CascadeStage(
                 model=model, params=params, engine=DecodeEngine(model),
                 lr_codebook=lr_codebook, lr_params=lr_params,
