@@ -19,6 +19,11 @@ def main():
     parser.add_argument("--model-path", required=True, type=pathlib.Path)
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
+    parser.add_argument("--coordinator-address", default=None, type=str,
+                        help="host:port of process 0 (multihost; TPU pods "
+                             "auto-detect when omitted).")
+    parser.add_argument("--num-processes", default=None, type=int)
+    parser.add_argument("--process-id", default=None, type=int)
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
     args = vars(parser.parse_args())
     fmap.run(args)

@@ -25,13 +25,27 @@ def _stack(samples):
 
 
 class DataLoader:
+    """``batch_size`` is the GLOBAL batch.  Under multihost
+    (``process_count > 1``) every process draws the same shuffled order
+    (seeded host-side RNG, identical on all processes) and yields only its
+    contiguous ``batch_size / process_count`` slice of each global batch —
+    the rows its devices own under a ('data',) sharding; assemble with
+    ``train.common.put_global_batch``."""
+
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 drop_remainder=True, prefetch=2):
+                 drop_remainder=True, prefetch=2, process_index=0,
+                 process_count=1):
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{process_count} processes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -46,8 +60,13 @@ class DataLoader:
             self._rng.shuffle(order)
         limit = (len(order) // self.batch_size * self.batch_size
                  if self.drop_remainder else len(order))
+        per_proc = self.batch_size // self.process_count
         for start in range(0, limit, self.batch_size):
-            yield order[start:start + self.batch_size]
+            batch = order[start:start + self.batch_size]
+            if self.process_count > 1:
+                lo = self.process_index * per_proc
+                batch = batch[lo:lo + per_proc]
+            yield batch
 
     def __iter__(self):
         """Background-thread prefetching iterator."""

@@ -83,9 +83,11 @@ def run(args):
     common.maybe_init_distributed(args)
     common.apply_debug_flags(args)
     out_dir = common.ensure_dir(args["out_dir"])
-    log = setup_logging(out_dir, PROJECT_NAME)
+    log = setup_logging(out_dir, PROJECT_NAME,
+                        main_process=common.is_main_process())
     profiler = common.Profiler(args)
-    metrics = common.MetricsLogger(out_dir)
+    metrics = common.MetricsLogger(out_dir,
+                                   enabled=common.is_main_process())
 
     config_dict = common.load_config(args["config_path"])
     model_lr = config_dict["model_lr"]
@@ -126,7 +128,9 @@ def run(args):
 
     dataset = ImageDataset(args["dataset_path"])
     loader = DataLoader(dataset, batch_size=batch_size,
-                        seed=args.get("seed", 0))
+                        seed=args.get("seed", 0),
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
 
     train_step = make_train_step(model, optimizer)
 
@@ -160,7 +164,7 @@ def run(args):
         loss_acc = jnp.zeros(())
         for index, image in enumerate(loader):
             profiler.step(global_steps)
-            batch = jax.device_put(jnp.asarray(image), data_sharding)
+            batch = common.put_global_batch(data_sharding, image)
             params, opt_state, loss = train_step(params, opt_state, batch)
             iteration_count += 1
             loss_acc = loss_acc + loss
@@ -172,18 +176,23 @@ def run(args):
                 common.check_finite(total_recon_loss)
 
             if global_steps % checkpoint_step == 0:
-                save_status = save_model(
-                    checkpoint_dict(cfg, params, opt_state),
-                    dest_path=out_dir,
-                    file_name=f"model_{global_steps}.pt",
-                    logging=log.info)
-                log.info("Successfully saved model." if save_status
-                         else "Error occured saving model.")
-                recon = np.asarray(model.apply(params, batch))
-                save_images(image, f"ground_truth_{global_steps}", out_dir,
-                            logging=log.info)
-                save_images(recon, f"recon_{global_steps}", out_dir,
-                            logging=log.info)
+                # every process joins the gathers (SPMD); only the main
+                # process touches the filesystem
+                ckpt = checkpoint_dict(cfg, params, opt_state)
+                recon = common.gather_replicated(model.apply(params, batch))
+                gt = common.gather_replicated(batch)
+                if common.is_main_process():
+                    save_status = save_model(
+                        ckpt, dest_path=out_dir,
+                        file_name=f"model_{global_steps}.pt",
+                        logging=log.info)
+                    log.info("Successfully saved model." if save_status
+                             else "Error occured saving model.")
+                    save_images(np.asarray(gt),
+                                f"ground_truth_{global_steps}", out_dir,
+                                logging=log.info)
+                    save_images(np.asarray(recon), f"recon_{global_steps}",
+                                out_dir, logging=log.info)
 
             lr_now = optim.current_lr(model_lr, lr_update_step,
                                       global_steps + 1)

@@ -56,9 +56,11 @@ def run(args):
     common.maybe_init_distributed(args)
     common.apply_debug_flags(args)
     out_dir = common.ensure_dir(args["out_dir"])
-    log = setup_logging(out_dir, PROJECT_NAME)
+    log = setup_logging(out_dir, PROJECT_NAME,
+                        main_process=common.is_main_process())
     profiler = common.Profiler(args)
-    metrics = common.MetricsLogger(out_dir)
+    metrics = common.MetricsLogger(out_dir,
+                                   enabled=common.is_main_process())
 
     config_dict = common.load_config(args["config_path"])
     model_lr = config_dict["model_lr"]
@@ -104,10 +106,13 @@ def run(args):
     data_sharding = batch_sharding(mesh, ndim=4)
     params = shard_tree(mesh, params)
     opt_state = shard_tree(mesh, opt_state)
+    dec_params = shard_tree(mesh, dec_params)  # previews consume mesh batches
 
     dataset = FeatureMapDataset(args["dataset_path"])
     loader = DataLoader(dataset, batch_size=batch_size,
-                        seed=args.get("seed", 0))
+                        seed=args.get("seed", 0),
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
 
     train_step = make_train_step(model, optimizer)
     quantize = jax.jit(
@@ -139,7 +144,7 @@ def run(args):
         loss_acc = jnp.zeros(())
         for index, feature_map in enumerate(loader):
             profiler.step(global_steps)
-            batch = jax.device_put(jnp.asarray(feature_map), data_sharding)
+            batch = common.put_global_batch(data_sharding, feature_map)
             nrange = jnp.asarray(model.neighbourhood_range, jnp.float32)
             params, opt_state, loss = train_step(params, opt_state, batch,
                                                  nrange)
@@ -153,20 +158,26 @@ def run(args):
                 common.check_finite(total_recon_loss)
 
             if global_steps % checkpoint_step == 0:
+                # every process joins the gathers (SPMD); only the main
+                # process touches the filesystem
                 quant = quantize(params, batch, nrange)
-                save_images(np.asarray(decode(dec_params, batch)),
-                            f"image_plot_{global_steps}", out_dir,
-                            logging=log.info)
-                save_images(np.asarray(decode(dec_params, quant)),
-                            f"quant_image_plot_{global_steps}", out_dir,
-                            logging=log.info)
-                save_status = save_model(
-                    checkpoint_dict(model, params, global_steps),
-                    dest_path=out_dir,
-                    file_name=f"codebook_{global_steps}.pt",
-                    logging=log.info)
-                log.info("Successfully saved codebook." if save_status
-                         else "Error occured saving codebook.")
+                gt_img = common.gather_replicated(decode(dec_params, batch))
+                quant_img = common.gather_replicated(
+                    decode(dec_params, quant))
+                ckpt = checkpoint_dict(model, params, global_steps)
+                if common.is_main_process():
+                    save_images(np.asarray(gt_img),
+                                f"image_plot_{global_steps}", out_dir,
+                                logging=log.info)
+                    save_images(np.asarray(quant_img),
+                                f"quant_image_plot_{global_steps}", out_dir,
+                                logging=log.info)
+                    save_status = save_model(
+                        ckpt, dest_path=out_dir,
+                        file_name=f"codebook_{global_steps}.pt",
+                        logging=log.info)
+                    log.info("Successfully saved codebook." if save_status
+                             else "Error occured saving codebook.")
 
             lr_now = optim.current_lr(model_lr, lr_update_step,
                                       global_steps + 1)

@@ -29,9 +29,31 @@ def select_platform(device):
 def maybe_init_distributed(args):
     """--multihost: join a multi-host TPU slice (DCN coordination via
     ``jax.distributed.initialize``; intra-slice collectives ride ICI through
-    the sharding annotations — SURVEY §2f comm-backend plan)."""
+    the sharding annotations — SURVEY §2f comm-backend plan).  On TPU pods
+    the coordinator is auto-detected; ``--coordinator-address
+    --num-processes --process-id`` override it (also how the CPU-backend
+    multihost tests run)."""
     if args.get("multihost"):
-        jax.distributed.initialize()
+        kwargs = {}
+        for key in ("coordinator_address", "num_processes", "process_id"):
+            if args.get(key) is not None:
+                kwargs[key] = args[key]
+        jax.distributed.initialize(**kwargs)
+
+
+def is_main_process():
+    return jax.process_index() == 0
+
+
+def put_global_batch(sharding, local_batch):
+    """Place one GLOBAL batch on the mesh.  Single-process: a plain sharded
+    device_put.  Multihost: every process contributes its contiguous slice
+    of the global batch (see ``DataLoader(process_index=...)``) and the
+    global array is assembled shard-wise — no cross-host batch traffic."""
+    local_batch = np.asarray(local_batch)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(local_batch), sharding)
+    return jax.make_array_from_process_local_data(sharding, local_batch)
 
 
 def apply_debug_flags(args):
@@ -97,8 +119,29 @@ class Profiler:
 
 
 def model_state_dict(params):
-    """Flat dotted-path numpy state (the checkpoint 'model' entry)."""
+    """Flat dotted-path numpy state (the checkpoint 'model' entry).  Under
+    multihost (or TP) the leaves may be sharded across non-addressable
+    devices; gather them to fully-replicated first."""
+    params = gather_replicated(params)
     return {k: np.asarray(v) for k, v in flatten_tree(params).items()}
+
+
+def gather_replicated(tree):
+    """Return ``tree`` with every leaf fully replicated (host-readable)."""
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "sharding")]
+    if not leaves:
+        return tree
+    if all(l.is_fully_replicated for l in leaves if hasattr(
+            l, "is_fully_replicated")):
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+    mesh = next(l.sharding.mesh for l in leaves
+                if hasattr(l.sharding, "mesh"))
+    replicated = NamedSharding(mesh, PartitionSpec())
+    return jax.jit(lambda t: t,
+                   out_shardings=jax.tree_util.tree_map(
+                       lambda _: replicated, tree))(tree)
 
 
 def looks_like_torch_state(state):

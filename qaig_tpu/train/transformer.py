@@ -191,9 +191,11 @@ def run(args):
     common.maybe_init_distributed(args)
     common.apply_debug_flags(args)
     out_dir = common.ensure_dir(args["out_dir"])
-    log = setup_logging(out_dir, PROJECT_NAME)
+    log = setup_logging(out_dir, PROJECT_NAME,
+                        main_process=common.is_main_process())
     profiler = common.Profiler(args)
-    metrics = common.MetricsLogger(out_dir)
+    metrics = common.MetricsLogger(out_dir,
+                                   enabled=common.is_main_process())
 
     config_dict = common.load_config(args["config_path"])
     model_lr = config_dict["model_lr"]
@@ -280,7 +282,9 @@ def run(args):
 
     dataset = FeatureMapDataset(args["dataset_path"])
     loader = DataLoader(dataset, batch_size=batch_size,
-                        seed=args.get("seed", 0))
+                        seed=args.get("seed", 0),
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
     test_loader = DataLoader(dataset, batch_size=min(test_num_sample,
                                                      len(dataset)),
                              seed=args.get("seed", 0) + 1)
@@ -338,7 +342,7 @@ def run(args):
         loss_acc = jnp.zeros(())
         for index, feature_map in enumerate(loader):
             profiler.step(global_steps)
-            batch = jax.device_put(jnp.asarray(feature_map), data_sharding)
+            batch = common.put_global_batch(data_sharding, feature_map)
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, (lr_params, hr_params), batch, step_rng)
@@ -352,17 +356,25 @@ def run(args):
                 common.check_finite(total_loss)
 
             if global_steps % checkpoint_step == 0:
+                # every process joins the gathers (SPMD); only the main
+                # process touches the filesystem
                 ckpt = checkpoint_dict(cfg, config_dict, train_base_model,
                                        sliding_window, params, opt_state)
                 ckpt["model"] = common.model_state_dict(params)
-                ckpt["model_optimizer"] = opt_state
-                save_status = save_model(
-                    ckpt, dest_path=out_dir,
-                    file_name=f"model_{global_steps}.pt", logging=log.info)
-                log.info("Successfully saved model." if save_status
-                         else "Error occured saving model.")
+                ckpt["model_optimizer"] = common.gather_replicated(opt_state)
+                if common.is_main_process():
+                    save_status = save_model(
+                        ckpt, dest_path=out_dir,
+                        file_name=f"model_{global_steps}.pt",
+                        logging=log.info)
+                    log.info("Successfully saved model." if save_status
+                             else "Error occured saving model.")
 
-                if not args.get("skip_preview"):
+                if jax.process_count() > 1 and not args.get("skip_preview"):
+                    log.info("Skipping AR previews under multihost "
+                             "(host-local preview batches cannot join the "
+                             "global mesh).")
+                if jax.process_count() == 1 and not args.get("skip_preview"):
                     test_fmap = jnp.asarray(next(iter(test_loader)))
                     save_images(
                         np.asarray(decode_image(dec_params, test_fmap)),

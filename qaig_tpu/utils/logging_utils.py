@@ -9,9 +9,13 @@ import logging
 import os
 
 
-def setup_logging(out_dir, project_name):
-    log_path = os.path.join(str(out_dir), f"{project_name}.log")
-    handlers = [logging.FileHandler(log_path), logging.StreamHandler()]
+def setup_logging(out_dir, project_name, main_process=True):
+    """``main_process=False`` (multihost replicas) keeps the stream handler
+    but skips the shared log file so processes don't interleave writes."""
+    handlers = [logging.StreamHandler()]
+    if main_process:
+        log_path = os.path.join(str(out_dir), f"{project_name}.log")
+        handlers.insert(0, logging.FileHandler(log_path))
     logging.basicConfig(
         format="%(asctime)s %(message)s",
         handlers=handlers,

@@ -1,0 +1,158 @@
+"""Multihost data plane: process-sharded loading + global batch assembly.
+
+The 2-process test runs the REAL ``train_quantized_transformer.py`` CLI in
+two coordinated subprocesses on the CPU backend (``jax.distributed`` over
+localhost) — the same code path a TPU pod drives, minus the hardware.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from qaig_tpu.data.loader import DataLoader
+from qaig_tpu.data.manifest import write_manifest
+
+
+class _Range:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((2, 4, 4), float(i), np.float32)
+
+
+def test_dataloader_process_slices_are_complementary():
+    """Every process draws the same shuffled order and yields its contiguous
+    slice; concatenated slices == the single-process global batch."""
+    ds = _Range(32)
+    whole = DataLoader(ds, batch_size=8, seed=3)
+    p0 = DataLoader(ds, batch_size=8, seed=3, process_index=0,
+                    process_count=2)
+    p1 = DataLoader(ds, batch_size=8, seed=3, process_index=1,
+                    process_count=2)
+    for full, a, b in zip(whole, p0, p1):
+        assert a.shape == (4, 2, 4, 4) and b.shape == (4, 2, 4, 4)
+        np.testing.assert_array_equal(np.concatenate([a, b]), full)
+
+
+def test_dataloader_rejects_indivisible_process_count():
+    with pytest.raises(ValueError):
+        DataLoader(_Range(8), batch_size=6, process_count=4)
+
+
+def test_put_global_batch_single_process():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from qaig_tpu.parallel.mesh import make_mesh
+    from qaig_tpu.train.common import put_global_batch
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharding = NamedSharding(mesh, P("data", None))
+    batch = np.arange(32, dtype=np.float32).reshape(8, 4)
+    arr = put_global_batch(sharding, batch)
+    assert arr.sharding == sharding
+    np.testing.assert_array_equal(np.asarray(arr), batch)
+
+
+def _build_fixtures(tmp_path):
+    """Tiny fmap dataset + decoder/codebook checkpoints (no training)."""
+    import jax
+    from qaig_tpu.models.conv_nets import Autoencoder, AutoencoderConfig
+    from qaig_tpu.models.codebook import Codebook
+    from qaig_tpu.train import common
+    from qaig_tpu.train.codebook import checkpoint_dict as cb_ckpt_dict
+    from qaig_tpu.utils import save_model
+
+    rng = np.random.default_rng(0)
+    rows = []
+    fdir = tmp_path / "fmaps"
+    fdir.mkdir()
+    for i in range(16):
+        fp = str(fdir / f"{i}.npy")
+        with open(fp, "wb") as f:
+            np.save(f, rng.standard_normal((2, 4, 4)).astype(np.float32))
+        rows.append({"fmap_path": fp, "image_path": fp})
+    manifest = str(tmp_path / "fmaps.json")
+    write_manifest(manifest, rows)
+
+    ae_cfg = AutoencoderConfig(num_layers=2, image_channel=3, min_channel=8,
+                               max_channel=16, latent_channel=2)
+    ae = Autoencoder(ae_cfg)
+    ae_params = ae.init(jax.random.PRNGKey(0))
+    ae_ckpt = {
+        "num_layers": 2, "image_channel": 3, "min_channel": 8,
+        "max_channel": 16, "latent_channel": 2,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh",
+        "model": common.model_state_dict(ae_params)}
+    assert save_model(ae_ckpt, dest_path=tmp_path, file_name="ae.pt")
+
+    def make_cb(name, patch, k):
+        cb = Codebook(patch_dim=(patch, patch), image_dim=(4, 4),
+                      image_channel=2, num_embeddings=k,
+                      init_neighbour_range=1)
+        params = cb.init(jax.random.PRNGKey(k))
+        assert save_model(cb_ckpt_dict(cb, params, 0), dest_path=tmp_path,
+                          file_name=f"{name}.pt")
+        return str(tmp_path / "models_checkpoint" / f"{name}.pt")
+
+    cb_a = make_cb("cb_a", 4, 4)
+    cb_b = make_cb("cb_b", 2, 8)
+    cfg = tmp_path / "tf.json"
+    cfg.write_text(json.dumps({
+        "model_lr": 1e-3, "use_sliding_window": False,
+        "num_dec_layers": 2, "self_attn_heads": 2, "in_dim": 16,
+        "hidden_dim": 32, "hidden_activation": "silu"}))
+    return {"manifest": manifest,
+            "ae": str(tmp_path / "models_checkpoint" / "ae.pt"),
+            "cb_a": cb_a, "cb_b": cb_b, "cfg": str(cfg)}
+
+
+@pytest.mark.slow
+def test_two_process_multihost_training(tmp_path):
+    """Two coordinated processes drive the real transformer CLI: each loads
+    its half of every global batch, the train step runs SPMD over the
+    2-device global mesh, and only process 0 writes the checkpoint."""
+    fx = _build_fixtures(tmp_path)
+    out_dir = tmp_path / "tf_out"
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # 1 local device per process
+
+    def spawn(pid):
+        return subprocess.Popen(
+            [sys.executable, "train_quantized_transformer.py",
+             "--device", "cpu", "--train-base-model",
+             "--dataset-path", fx["manifest"],
+             "--decoder-path", fx["ae"],
+             "--lr-codebook-path", fx["cb_a"],
+             "--hr-codebook-path", fx["cb_b"],
+             "--config-path", fx["cfg"], "--out-dir", str(out_dir),
+             "--batch-size", "4", "--checkpoint-step", "2",
+             "--max-steps", "3", "--skip-preview",
+             "--multihost", "--coordinator-address", "localhost:29531",
+             "--num-processes", "2", "--process-id", str(pid)],
+            cwd=".", env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+    procs = [spawn(0), spawn(1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid}:\n{out[-3000:]}"
+
+    assert (out_dir / "models_checkpoint" / "model_2.pt").exists()
+    # loss lines reach both consoles; the log file belongs to process 0 only
+    assert "Recon Loss" in outs[0] and "Recon Loss" in outs[1]
+    assert "Successfully saved model." in outs[0]
+    assert "Successfully saved model." not in outs[1]
