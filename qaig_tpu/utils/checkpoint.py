@@ -96,32 +96,79 @@ def load_model(checkpoint_path, logging=print):
 # orbax backend (optional)
 # ---------------------------------------------------------------------------
 
-def save_model_orbax(model_dict, dest_path, file_name, logging=print):
+def save_model_orbax(model_dict, dest_path, file_name, logging=print,
+                     async_save=False):
     """Same checkpoint schema through orbax: arrays go into an orbax pytree
     directory, non-array metadata into a sidecar JSON.  Produces
-    ``<dest>/models_checkpoint/<file_name>.orbax/``."""
+    ``<dest>/models_checkpoint/<file_name>.orbax/``.
+
+    Sharded leaves (``jax.Array`` on a mesh) are saved SHARD-WISE — every
+    host/device writes its own shards, nothing is gathered through host
+    memory (the pickle backend gathers; this one scales).  ``async_save``
+    returns an ``ocp.AsyncCheckpointer`` whose ``wait_until_finished()``
+    completes the write in the background while training continues.
+    """
     import json
     try:
+        import jax
         import orbax.checkpoint as ocp
         folder = os.path.join(str(dest_path), "models_checkpoint",
                               str(file_name) + ".orbax")
-        flat = flatten_tree(_to_numpy(model_dict))
-        arrays = {k: v for k, v in flat.items()
-                  if isinstance(v, np.ndarray)}
-        meta = {k: v for k, v in flat.items()
-                if not isinstance(v, np.ndarray)}
+        flat = flatten_tree(model_dict)
+        arrays, meta = {}, {}
+        for k, v in flat.items():
+            if isinstance(v, jax.Array):
+                arrays[k] = v          # saved shard-wise, no host gather
+            else:
+                v = _to_numpy({"x": v})["x"]
+                if isinstance(v, np.ndarray):
+                    arrays[k] = v
+                else:
+                    meta[k] = v
         if os.path.exists(folder):
             import shutil
             shutil.rmtree(folder)
         os.makedirs(os.path.dirname(folder), exist_ok=True)
-        ckptr = ocp.PyTreeCheckpointer()
+        if async_save:
+            ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.join(folder, "arrays"), arrays)
         with open(os.path.join(folder, "meta.json"), "w") as f:
             json.dump(meta, f, default=str)
-        return True
+        return ckptr if async_save else True
     except Exception as e:
         logging(f"Exception occured while saving model (orbax): {e}.")
         return False
+
+
+def restore_arrays_orbax(path, sharding_flat=None, logging=print):
+    """Restore the array entries of an ``.orbax`` checkpoint directly onto
+    device shardings: ``sharding_flat`` maps dotted paths to
+    ``jax.sharding.Sharding``; matching leaves are materialized shard-wise
+    on their devices (no host-global copy).  Unlisted leaves restore as
+    host numpy.  Returns (status, flat dict)."""
+    try:
+        import jax
+        import orbax.checkpoint as ocp
+        ckptr = ocp.PyTreeCheckpointer()
+        item = os.path.join(str(path), "arrays")
+        meta = ckptr.metadata(item)
+        meta = dict(getattr(meta, "item_metadata", meta).items())
+        restore_args = {}
+        for key, m in meta.items():
+            sharding = (sharding_flat or {}).get(key)
+            if sharding is not None:
+                restore_args[key] = ocp.ArrayRestoreArgs(
+                    sharding=sharding, global_shape=tuple(m.shape),
+                    dtype=m.dtype)
+            else:
+                restore_args[key] = ocp.RestoreArgs()
+        arrays = ckptr.restore(item, restore_args=restore_args)
+        return True, arrays
+    except Exception as e:
+        logging(f"Failed to restore orbax arrays from {path}: {e}")
+        return False, None
 
 
 def load_model_orbax(path, logging=print):

@@ -216,3 +216,47 @@ def test_submodule_restore_from_autoencoder_checkpoint():
     np.testing.assert_array_equal(np.asarray(enc_params["layers"][0]["w"]),
                                   np.asarray(want))
     assert not skipped, skipped
+
+
+def test_orbax_sharded_save_and_mesh_restore(tmp_path):
+    """TP-sharded params save shard-wise through orbax (no host gather) and
+    restore directly onto a mesh with their partition specs; async save
+    completes in the background."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from qaig_tpu.models.transformer import Transformer, TransformerConfig
+    from qaig_tpu.parallel.mesh import make_mesh
+    from qaig_tpu.parallel.sharding import transformer_param_spec, shard_tree
+    from qaig_tpu.utils.checkpoint import (flatten_tree, save_model_orbax,
+                                           restore_arrays_orbax)
+
+    cfg = TransformerConfig(
+        use_encoder=False, use_pos_cond=False, num_enc_layers=0,
+        num_dec_layers=2, num_enc_embedding=1, num_dec_embedding=16,
+        self_attn_heads=2, cross_attn_heads=0, in_dim=16, out_dim=12,
+        hidden_dim=32)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    mesh = make_mesh(n_data=4, n_model=2)
+    spec = transformer_param_spec(params)
+    params_s = shard_tree(mesh, params, spec)
+
+    ckpt = {"kind": "test", "model": params_s}
+    ckptr = save_model_orbax(ckpt, dest_path=tmp_path, file_name="tp",
+                             async_save=True)
+    assert ckptr is not False
+    ckptr.wait_until_finished()
+
+    flat_spec = {f"model.{k}": NamedSharding(mesh, v)
+                 for k, v in flatten_tree(spec).items()}
+    ok, arrays = restore_arrays_orbax(
+        str(tmp_path / "models_checkpoint" / "tp.orbax"), flat_spec)
+    assert ok
+    want_flat = flatten_tree(params_s)
+    for key, want in want_flat.items():
+        got = arrays[f"model.{key}"]
+        # restored straight onto the mesh with the original partitioning
+        assert got.sharding == NamedSharding(mesh, flatten_tree(spec)[key])
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
