@@ -17,6 +17,10 @@ def main():
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--prune-threshold", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--checkpoint-backend",
+                        choices=["pickle", "orbax"], default="pickle",
+                        help="pickle = reference-compatible single file; "
+                             "orbax = sharded directory (no host gather).")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)

@@ -174,6 +174,7 @@ def run(args):
                                 logging=log.info)
                     save_status = save_model(
                         ckpt, dest_path=out_dir,
+                        backend=args.get("checkpoint_backend", "pickle"),
                         file_name=f"codebook_{global_steps}.pt",
                         logging=log.info)
                     log.info("Successfully saved codebook." if save_status

@@ -92,6 +92,7 @@ def run(args):
         checkpoint_dict(new_model, new_params, global_steps),
         dest_path=out_dir,
         file_name="pruned_codebook.pt",
+        backend=args.get("checkpoint_backend", "pickle"),
         logging=log.info)
     log.info("Successfully saved codebook." if save_status
              else "Error occured saving codebook.")

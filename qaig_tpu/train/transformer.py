@@ -365,6 +365,7 @@ def run(args):
                 if common.is_main_process():
                     save_status = save_model(
                         ckpt, dest_path=out_dir,
+                        backend=args.get("checkpoint_backend", "pickle"),
                         file_name=f"model_{global_steps}.pt",
                         logging=log.info)
                     log.info("Successfully saved model." if save_status

@@ -40,8 +40,16 @@ def _to_numpy(obj):
     return obj
 
 
-def save_model(model_dict, dest_path, file_name, logging=print):
-    """Atomically pickle ``model_dict`` to <dest>/models_checkpoint/<name>."""
+def save_model(model_dict, dest_path, file_name, logging=print,
+               backend="pickle"):
+    """Atomically pickle ``model_dict`` to <dest>/models_checkpoint/<name>.
+
+    ``backend="orbax"`` writes a sharded ``<name>.orbax/`` directory
+    instead (no host gather for mesh-sharded params; see
+    :func:`save_model_orbax`)."""
+    if backend == "orbax":
+        return bool(save_model_orbax(model_dict, dest_path, file_name,
+                                     logging=logging))
     try:
         folder = os.path.join(str(dest_path), "models_checkpoint")
         os.makedirs(folder, exist_ok=True)
@@ -69,8 +77,12 @@ def _torch_to_numpy(obj):
 
 
 def load_model(checkpoint_path, logging=print):
-    """Load a checkpoint; returns (status, dict).  Understands both the
-    native pickle format and reference torch ``.pt`` files."""
+    """Load a checkpoint; returns (status, dict).  Understands the native
+    pickle format, reference torch ``.pt`` files, and ``.orbax``
+    directories."""
+    if str(checkpoint_path).endswith(".orbax") and \
+            os.path.isdir(str(checkpoint_path)):
+        return load_model_orbax(checkpoint_path, logging=logging)
     checkpoint_path = str(checkpoint_path)
     if not os.path.exists(checkpoint_path):
         logging("Checkpoint does not exist.")
@@ -112,8 +124,9 @@ def save_model_orbax(model_dict, dest_path, file_name, logging=print,
     try:
         import jax
         import orbax.checkpoint as ocp
-        folder = os.path.join(str(dest_path), "models_checkpoint",
-                              str(file_name) + ".orbax")
+        # orbax requires absolute checkpoint paths
+        folder = os.path.abspath(os.path.join(
+            str(dest_path), "models_checkpoint", str(file_name) + ".orbax"))
         flat = flatten_tree(model_dict)
         arrays, meta = {}, {}
         for k, v in flat.items():
@@ -152,7 +165,7 @@ def restore_arrays_orbax(path, sharding_flat=None, logging=print):
         import jax
         import orbax.checkpoint as ocp
         ckptr = ocp.PyTreeCheckpointer()
-        item = os.path.join(str(path), "arrays")
+        item = os.path.join(os.path.abspath(str(path)), "arrays")
         meta = ckptr.metadata(item)
         meta = dict(getattr(meta, "item_metadata", meta).items())
         restore_args = {}
@@ -177,7 +190,7 @@ def load_model_orbax(path, logging=print):
     import json
     try:
         import orbax.checkpoint as ocp
-        path = str(path)
+        path = os.path.abspath(str(path))
         ckptr = ocp.PyTreeCheckpointer()
         arrays = ckptr.restore(os.path.join(path, "arrays"))
         with open(os.path.join(path, "meta.json")) as f:

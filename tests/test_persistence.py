@@ -260,3 +260,21 @@ def test_orbax_sharded_save_and_mesh_restore(tmp_path):
         # restored straight onto the mesh with the original partitioning
         assert got.sharding == NamedSharding(mesh, flatten_tree(spec)[key])
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_save_model_orbax_backend_roundtrip(tmp_path):
+    """save_model(backend='orbax') + load_model on the .orbax directory
+    preserve the reference checkpoint schema."""
+    import jax.numpy as jnp
+    from qaig_tpu.utils.checkpoint import save_model, load_model
+
+    ckpt = {"num_layers": 2, "hidden_activation_type": "silu",
+            "model": {"layers.0.w": jnp.arange(6.0).reshape(2, 3)}}
+    assert save_model(ckpt, dest_path=tmp_path, file_name="m.pt",
+                      backend="orbax")
+    ok, got = load_model(tmp_path / "models_checkpoint" / "m.pt.orbax")
+    assert ok
+    assert got["num_layers"] == 2
+    assert got["hidden_activation_type"] == "silu"
+    np.testing.assert_array_equal(np.asarray(got["model"]["layers.0.w"]),
+                                  np.arange(6.0).reshape(2, 3))

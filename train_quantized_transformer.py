@@ -57,6 +57,10 @@ def main():
     parser.add_argument("--num-model-shards", type=int, default=1,
                         help="Tensor-parallel shards over the mesh's model "
                              "axis (1 = pure data parallel).")
+    parser.add_argument("--checkpoint-backend",
+                        choices=["pickle", "orbax"], default="pickle",
+                        help="pickle = reference-compatible single file; "
+                             "orbax = sharded directory (no host gather).")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--coordinator-address", default=None, type=str,
