@@ -348,9 +348,11 @@ def _stage_breakdown(args, stages, decoder, dec_params, stage_params,
             "num_beam": st["num_beam"] if use_beams else 1,
             "time_s": round(time.time() - t0, 4)}
         tokens = o - st["settings"].index_shift
+    decode_jit = jax.jit(lambda dp, t: decode_pixels(stages, decoder, dp, t))
+    img = decode_jit(dec_params, tokens)  # warm/compile
+    _ = float(jnp.sum(img.astype(jnp.float32)))
     t0 = time.time()
-    img = jax.jit(lambda dp, t: decode_pixels(stages, decoder, dp, t))(
-        dec_params, tokens)
+    img = decode_jit(dec_params, tokens)
     _ = float(jnp.sum(img.astype(jnp.float32)))
     out["pixel_decode"] = {"time_s": round(time.time() - t0, 4)}
     return out
