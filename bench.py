@@ -193,9 +193,9 @@ def peak_flops_per_chip():
 
 def main():
     parser = argparse.ArgumentParser()
-    # 256 peaks (133.7 img/s) but compiles longer; 128 (122.8 img/s) keeps a
-    # cold-process run around 5 minutes end to end.
-    parser.add_argument("--batch", type=int, default=128,
+    # batch sweep (r2): 128 -> 120.8, 192 -> 126.6, 256 -> 133.2 img/s/chip;
+    # a cold 256 run is ~4m50s end to end (compile-dominated).
+    parser.add_argument("--batch", type=int, default=256,
                         help="images per chip per iteration")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--scale", choices=["full", "smoke"], default="full")
