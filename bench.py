@@ -51,7 +51,7 @@ def to_bf16(tree):
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
 
-def build_cascade(scale="full", dtype=jnp.bfloat16):
+def build_cascade(scale="full", dtype=jnp.bfloat16, int8_kv=False):
     """Stage descriptors: (transformer, params, engine, lr_cb, hr_cb,
     settings, sliding_window)."""
     if scale == "full":
@@ -112,7 +112,9 @@ def build_cascade(scale="full", dtype=jnp.bfloat16):
             index_shift=k if base else 0)
         num_beam, beam_width = beams[i]
         stages.append(dict(model=model, params=params,
-                           engine=DecodeEngine(model), lr=lr_cb, hr=hr_cb,
+                           engine=DecodeEngine(
+                               model, quantized_prefix=int8_kv),
+                           lr=lr_cb, hr=hr_cb,
                            settings=settings, window=window,
                            total_seq=hr_cb[0].seq_len, k=k, base=base,
                            num_beam=num_beam, beam_width=beam_width))
@@ -205,14 +207,21 @@ def main():
     parser.add_argument("--no-beams", action="store_true",
                         help="single-path temperature sampling (no rollout "
                              "beam search)")
+    parser.add_argument("--int8-kv", action="store_true",
+                        help="int8 shared-prefix KV cache (serving option; "
+                             "small numeric delta, ~halves the dominant "
+                             "decode HBM stream)")
     args = parser.parse_args()
 
     backend = jax.default_backend()
     if backend == "cpu" and args.scale == "full":
         args.scale = "smoke"
 
+    mode = "single" if args.no_beams else "beams"
+    if args.int8_kv:
+        mode += "_int8kv"
     try:
-        _run(args, mode=("single" if args.no_beams else "beams"))
+        _run(args, mode=mode)
     except Exception as e:  # never leave the driver without a metric line
         import sys
         print(f"bench: beams path failed ({type(e).__name__}: {e}); "
@@ -223,7 +232,8 @@ def main():
 
 
 def _run(args, mode):
-    stages, decoder, dec_params = build_cascade(args.scale)
+    stages, decoder, dec_params = build_cascade(
+        args.scale, int8_kv=getattr(args, "int8_kv", False))
     stage_params = [st["params"] for st in stages]
 
     # >1 chip: shard the image batch over a ('data',) mesh; params stay

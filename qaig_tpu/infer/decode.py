@@ -138,9 +138,38 @@ def _select_beam(tree, winner, num_beam):
 
 
 class DecodeEngine:
-    def __init__(self, model):
+    def __init__(self, model, quantized_prefix=False):
+        # quantized_prefix: store the rollout decode's SHARED prefix K/V
+        # int8 with per-slot scales (ops/kv_quant.py) — halves the dominant
+        # HBM stream of beam decode at a small numeric cost (serving
+        # option; exact bf16 is the default).  Only rollout_generate uses
+        # it; single-path decode stays exact.
         self.model = model
+        self.quantized_prefix = quantized_prefix
         self._jit_cache = {}
+
+    def _quantize_prefix(self, arrays):
+        from qaig_tpu.ops.kv_quant import quantize_caches
+
+        def build():
+            def fn(arrays):
+                return dict(arrays, caches=quantize_caches(arrays["caches"]))
+            return fn
+        key = ("quantize", arrays["caches"][0]["k"].shape)
+        return self._jitted(key, build)(arrays)
+
+    def _dequantize_prefix(self, arrays):
+        from qaig_tpu.ops.kv_quant import dequantize_caches
+        if "k_scale" not in arrays["caches"][0]:
+            return arrays
+
+        def build():
+            def fn(arrays):
+                return dict(arrays,
+                            caches=dequantize_caches(arrays["caches"]))
+            return fn
+        key = ("dequantize", arrays["caches"][0]["k"].shape)
+        return self._jitted(key, build)(arrays)
 
     def _jitted(self, key, builder):
         # NOTE: segment inputs are deliberately NOT donated — states are
@@ -308,7 +337,8 @@ class DecodeEngine:
 
         key = ("rollout_seg", beam_width, num_beam, settings, has_ctx,
                arrays["logits"].shape,
-               arrays["caches"][0]["k"].shape)
+               arrays["caches"][0]["k"].shape,
+               str(arrays["caches"][0]["k"].dtype))
         return self._jitted(key, build)(params, arrays, rng)
 
     # ------------------------------------------------------------------
@@ -379,7 +409,7 @@ class DecodeEngine:
         def pad(c):
             cur = c.shape[2]
             return jnp.pad(c, ((0, 0), (0, 0), (0, new_len - cur), (0, 0)))
-        caches = [{"k": pad(c["k"]), "v": pad(c["v"])}
+        caches = [{key: pad(value) for key, value in c.items()}
                   for c in arrays["caches"]]
         return dict(arrays, caches=caches)
 
@@ -495,6 +525,8 @@ class DecodeEngine:
 
         state = self.init_state(params, init_tokens, num_new_tokens,
                                 x_enc=x_enc, sliding_window=sliding_window)
+        if self.quantized_prefix:
+            state.arrays = self._quantize_prefix(state.arrays)
         out = []
         for _ in range(num_new_tokens // beam_width):
             rng, seg_rng = jax.random.split(rng)
@@ -519,7 +551,10 @@ class DecodeEngine:
                 continue
 
             # legacy path (windowed phase / crossing segments): tile the
-            # full state, decode, gather the winner
+            # full state, decode, gather the winner (int8 prefixes convert
+            # back to bf16 once — this path runs at most once per decode)
+            if self.quantized_prefix and state.mode == "cached":
+                state.arrays = self._dequantize_prefix(state.arrays)
             tiled = DecodeState(mode=state.mode,
                                 arrays=_tile(state.arrays, num_beam),
                                 init_len=state.init_len,

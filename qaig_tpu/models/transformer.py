@@ -314,7 +314,8 @@ class Transformer:
             bv = jax.lax.dynamic_update_slice_in_dim(
                 block["v"], split_heads(v, heads), block_index, 2)
             attn = shared_prefix_attention(
-                q, shared["k"], shared["v"], bk, bv, index0, block_index)
+                q, shared["k"], shared["v"], bk, bv, index0, block_index,
+                k_scale=shared.get("k_scale"), v_scale=shared.get("v_scale"))
             h = blocks.residual(layer["self_attn"]["res"], attn, x0,
                                 pos_cond_emb, bcfg.act)
             new_blocks.append({"k": bk, "v": bv})
@@ -335,9 +336,25 @@ class Transformer:
 
     def merge_block_caches(self, shared_caches, block_caches, index0):
         """Write the (selected) per-rollout blocks back into the shared
-        prefix at ``index0`` — one slice update per layer per segment."""
+        prefix at ``index0`` — one slice update per layer per segment.
+        Quantized prefixes (int8 + scales) quantize the block on merge."""
         merged = []
         for shared, block in zip(shared_caches, block_caches):
+            if "k_scale" in shared:
+                from qaig_tpu.ops.kv_quant import quantize_kv
+                k8, ks = quantize_kv(block["k"])
+                v8, vs = quantize_kv(block["v"])
+                merged.append({
+                    "k": jax.lax.dynamic_update_slice_in_dim(
+                        shared["k"], k8, index0, 2),
+                    "v": jax.lax.dynamic_update_slice_in_dim(
+                        shared["v"], v8, index0, 2),
+                    "k_scale": jax.lax.dynamic_update_slice_in_dim(
+                        shared["k_scale"], ks, index0, 2),
+                    "v_scale": jax.lax.dynamic_update_slice_in_dim(
+                        shared["v_scale"], vs, index0, 2),
+                })
+                continue
             merged.append({
                 "k": jax.lax.dynamic_update_slice_in_dim(
                     shared["k"], block["k"].astype(shared["k"].dtype),

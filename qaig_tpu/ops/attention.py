@@ -109,7 +109,7 @@ def dot_product_attention(q, k, v, heads, causal=False, kv_mask=None,
 
 
 def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
-                            index0, block_index):
+                            index0, block_index, k_scale=None, v_scale=None):
     """Beam-rollout decode attention over a SHARED prefix cache plus a
     per-rollout block.
 
@@ -127,9 +127,15 @@ def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
         slots <= ``block_index``).
       index0: scalar — shared prefix length.
       block_index: scalar — current position within the segment.
+      k_scale, v_scale: optional (N, H, S, 1) per-slot scales when the
+        shared prefix is stored int8 (``ops/kv_quant.py``).
 
     Returns (N*B, 1, D).
     """
+    if k_scale is not None:
+        from qaig_tpu.ops.kv_quant import dequantize_kv
+        k_shared = dequantize_kv(k_shared, k_scale, q.dtype)
+        v_shared = dequantize_kv(v_shared, v_scale, q.dtype)
     nb, _, d = q.shape
     n, heads, s, dh = k_shared.shape
     b = nb // n

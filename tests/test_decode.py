@@ -359,3 +359,44 @@ def test_base_mode_multitoken_rollout_generate_runs(rng):
     tokens = np.asarray(tokens)
     assert tokens.shape == (n, steps)
     assert tokens.min() >= lr_k and tokens.max() < lr_k + hr_k
+
+
+def test_int8_prefix_rollout_matches_exact_closely(rng):
+    """quantized_prefix=True produces the same shapes/valid vocab and a
+    trajectory that tracks the exact engine closely at greedy sampling
+    (int8 per-slot quantization error is ~1e-2 on attention outputs)."""
+    import jax
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+
+    cfg = _small_cfg(use_encoder=True, use_pos_cond=False, out_dim=17,
+                     num_dec_embedding=17)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    n, steps = 2, 16
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+    init = jnp.full((n, 1), 16, jnp.int32)
+    settings = SamplerSettings(temperature=1.0, end_token=16,
+                               end_mode="mask")
+    key = jax.random.PRNGKey(9)
+
+    exact = np.asarray(DecodeEngine(model).rollout_generate(
+        params, init, steps, key, settings, num_beam=2, beam_width=4,
+        x_enc=x_enc))
+    q = np.asarray(DecodeEngine(model, quantized_prefix=True)
+                   .rollout_generate(params, init, steps, key, settings,
+                                     num_beam=2, beam_width=4, x_enc=x_enc))
+    assert q.shape == exact.shape
+    assert q.min() >= 0 and q.max() < 17
+    # same sampling draws + tiny logit perturbation => mostly equal tokens
+    agreement = float((q == exact).mean())
+    assert agreement >= 0.5, f"agreement {agreement}"
+
+
+def test_kv_quant_roundtrip_error_bound(rng):
+    from qaig_tpu.ops.kv_quant import quantize_kv, dequantize_kv
+    x = jnp.asarray(rng.standard_normal((4, 2, 8, 16)), jnp.float32)
+    q, s = quantize_kv(x)
+    back = dequantize_kv(q, s, jnp.float32)
+    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                               atol=float(amax.max()) / 127 * 1.01)
