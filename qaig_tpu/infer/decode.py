@@ -138,14 +138,19 @@ def _select_beam(tree, winner, num_beam):
 
 
 class DecodeEngine:
-    def __init__(self, model, quantized_prefix=False):
+    def __init__(self, model, quantized_prefix=False,
+                 legacy_windowed_rollouts=False):
         # quantized_prefix: store the rollout decode's SHARED prefix K/V
         # int8 with per-slot scales (ops/kv_quant.py) — halves the dominant
         # HBM stream of beam decode at a small numeric cost (serving
         # option; exact bf16 is the default).  Only rollout_generate uses
         # it; single-path decode stays exact.
+        # legacy_windowed_rollouts: force the tile-everything fallback for
+        # sliding-window beam segments instead of the shared windowed path
+        # (A/B testing; also used automatically when beam_width >= window).
         self.model = model
         self.quantized_prefix = quantized_prefix
+        self.legacy_windowed_rollouts = legacy_windowed_rollouts
         self._jit_cache = {}
 
     def _quantize_prefix(self, arrays):
@@ -273,15 +278,24 @@ class DecodeEngine:
     # ------------------------------------------------------------------
 
     def _rollout_segment(self, params, arrays, rng, beam_width, num_beam,
-                         settings: SamplerSettings):
+                         settings: SamplerSettings, prefix_len=None):
         """One best-of-B segment with the prefix KV cache SHARED across
         rollouts: only (N*B, H, bw, dh) per-rollout blocks are created,
         selected, and merged back — the legacy path tiled and re-gathered
         every full cache.  Selection happens in-jit; returns
-        (new shared arrays, winning tokens (N, bw))."""
+        (new shared arrays, winning tokens (N, bw)).
+
+        ``prefix_len``: the exact prefix length (static Python counter).
+        Attention reads are statically sliced to the next multiple of 32
+        instead of streaming the whole bucket capacity — the bucketed
+        growth schedule otherwise wastes up to ~2x HBM bandwidth on
+        masked-out slots right after a regrow."""
         model = self.model
         use_pos = model.cfg.use_pos_cond
         has_ctx = "ctx" in arrays
+        cap = arrays["caches"][0]["k"].shape[2]
+        read_len = cap if prefix_len is None \
+            else min(cap, -(-prefix_len // 32) * 32)
 
         def build():
             def fn(params, arrays, rng):
@@ -293,6 +307,9 @@ class DecodeEngine:
                     if model.cfg.use_encoder else None
                 block_caches = model.init_block_cache(
                     nb, beam_width, params["dec_embedding"]["w"].dtype)
+                read_caches = [
+                    {key: value[:, :, :read_len] for key, value in c.items()}
+                    for c in arrays["caches"]]
 
                 logits0 = _tile({"x": arrays["logits"]}, num_beam)["x"]
                 ctx0 = (_tile({"x": arrays["ctx"]}, num_beam)["x"]
@@ -308,7 +325,7 @@ class DecodeEngine:
                     pos_val = (index0 + j + settings.pos_offset) if use_pos \
                         else None
                     logits, blocks_ = model.decode_step_shared(
-                        params, token, arrays["caches"], blocks_,
+                        params, token, read_caches, blocks_,
                         index0, j, cross_kv_split=cross_split,
                         pos_cond_value=pos_val, packed=packed)
                     return ((logits, blocks_, j + 1, ctx,
@@ -338,7 +355,162 @@ class DecodeEngine:
         key = ("rollout_seg", beam_width, num_beam, settings, has_ctx,
                arrays["logits"].shape,
                arrays["caches"][0]["k"].shape,
-               str(arrays["caches"][0]["k"].dtype))
+               str(arrays["caches"][0]["k"].dtype), read_len)
+        return self._jitted(key, build)(params, arrays, rng)
+
+    # ------------------------------------------------------------------
+    # shared windowed rollout segment (crossing + steady sliding phases)
+    # ------------------------------------------------------------------
+
+    def _windowed_rollout_segment(self, params, arrays, rng, beam_width,
+                                  num_beam, settings: SamplerSettings,
+                                  n_cached, window, init_len, gen0, kind):
+        """One best-of-B segment once the sliding window is (or becomes)
+        active, with the window's SHARED slots kept at N rows.
+
+        ``kind='crossing'``: the segment starts in cached mode (arrays are
+        the cached-state kind) — the first ``n_cached`` steps run through the
+        shared-prefix KV path, the rest through shared windowed recompute
+        (``window_forward_shared``).  ``kind='steady'``: the window already
+        slid (arrays are the windowed kind, ``n_cached == 0``).
+
+        The legacy path tiled the ENTIRE state by ``num_beam`` and re-ran
+        the full (W-1)-token window at N*B rows per windowed step; here only
+        the per-rollout segment tail is at N*B rows — the window recompute's
+        embedding/KV/layer stack over shared slots runs once per batch
+        element.  Selection is in-jit.  Returns (windowed-kind arrays for
+        the selected rollout, winning tokens (N, bw))."""
+        model = self.model
+        use_pos = model.cfg.use_pos_cond
+        crossing = kind == "crossing"
+        c0 = init_len + gen0  # context length at segment start
+
+        def build():
+            def fn(params, arrays, rng):
+                keys = jax.random.split(rng, beam_width)
+                if crossing:
+                    n = arrays["logits"].shape[0]
+                else:
+                    n = arrays["tok_buf"].shape[0]
+                nb = n * num_beam
+                cross_kv = arrays["cross_kv"]
+
+                if crossing:
+                    ctx = arrays["ctx"]
+                    # position value of context slot j: conditioning-grid
+                    # slots keep pos == slot, generated slots get the
+                    # sampler's generation offset (_windowed_from_cached).
+                    slots = jnp.arange(c0, dtype=jnp.float32)
+                    pos_full = slots + jnp.where(
+                        slots >= init_len, float(settings.pos_offset), 0.0)
+                    pos0 = arrays["index"].astype(jnp.float32) \
+                        + settings.pos_offset
+                else:
+                    tok_shared = arrays["tok_buf"]
+                    pos_shared_full = arrays["pos_buf"]
+                    pos0 = arrays["pos_next"].astype(jnp.float32)
+
+                logp = jnp.zeros(nb)
+                seg_tokens = jnp.zeros((nb, 0), jnp.int32)
+
+                # -- part A: pre-slide steps via the shared-prefix KV path
+                if n_cached > 0:
+                    packed = model.pack_decode(params)
+                    cross_split = model.presplit_cross_kv(cross_kv) \
+                        if model.cfg.use_encoder else None
+                    block_caches = model.init_block_cache(
+                        nb, n_cached, params["dec_embedding"]["w"].dtype)
+                    logits0 = _tile({"x": arrays["logits"]}, num_beam)["x"]
+                    index0 = arrays["index"]
+                    cap = arrays["caches"][0]["k"].shape[2]
+                    read_len = min(cap, -(-c0 // 32) * 32)
+                    read_caches = [
+                        {key: value[:, :, :read_len]
+                         for key, value in c.items()}
+                        for c in arrays["caches"]]
+
+                    def body(carry, step_rng):
+                        logits, blocks_, j, lp = carry
+                        token, p = _sample(logits, step_rng, settings)
+                        pos_val = (index0 + j + settings.pos_offset) \
+                            if use_pos else None
+                        logits, blocks_ = model.decode_step_shared(
+                            params, token, read_caches, blocks_,
+                            index0, j, cross_kv_split=cross_split,
+                            pos_cond_value=pos_val, packed=packed)
+                        return ((logits, blocks_, j + 1,
+                                 lp + jnp.log(jnp.maximum(p, 1e-38))), token)
+
+                    carry = (logits0, block_caches,
+                             jnp.asarray(0, jnp.int32), logp)
+                    (logits, _, _, logp), toks = jax.lax.scan(
+                        body, carry, keys[:n_cached])
+                    seg_tokens = toks.T.astype(jnp.int32)
+
+                # -- part B: slid steps via shared windowed recompute
+                for s in range(n_cached, beam_width):
+                    s0 = window - 1 - s
+                    if crossing:
+                        sh_tok = ctx[:, c0 - s0:c0]
+                        sh_pos = jnp.broadcast_to(
+                            pos_full[None, c0 - s0:c0], (n, s0)) \
+                            if use_pos else None
+                    else:
+                        sh_tok = tok_shared[:, s:]
+                        sh_pos = pos_shared_full[:, s:] if use_pos else None
+                    if s == 0:
+                        logits_n = model.window_forward(
+                            params, sh_tok, pos_cond=sh_pos,
+                            cross_kv=cross_kv, last_only=True)[:, 0]
+                        logits = _tile({"x": logits_n}, num_beam)["x"]
+                    else:
+                        blk_pos = (pos0 + jnp.arange(s, dtype=jnp.float32))
+                        blk_pos = jnp.broadcast_to(blk_pos[None], (nb, s)) \
+                            if use_pos else None
+                        logits = model.window_forward_shared(
+                            params, sh_tok, seg_tokens,
+                            shared_pos_cond=sh_pos, block_pos_cond=blk_pos,
+                            cross_kv=cross_kv)
+                    token, p = _sample(logits, keys[s], settings)
+                    logp = logp + jnp.log(jnp.maximum(p, 1e-38))
+                    seg_tokens = jnp.concatenate(
+                        [seg_tokens, token[:, None].astype(jnp.int32)],
+                        axis=1)
+
+                # -- in-jit selection, then rebuild the windowed state
+                winner = jnp.argmax(logp.reshape(n, num_beam), axis=1)
+                sel = _select_beam({"tokens": seg_tokens}, winner,
+                                   num_beam)["tokens"]
+
+                keep = (window - 1) - beam_width  # shared slots that remain
+                if crossing:
+                    tail_tok = ctx[:, c0 - keep:c0]
+                    tail_pos = jnp.broadcast_to(
+                        pos_full[None, c0 - keep:c0], (n, keep))
+                else:
+                    tail_tok = tok_shared[:, beam_width:]
+                    tail_pos = pos_shared_full[:, beam_width:]
+                new_pos = pos0 + jnp.arange(beam_width, dtype=jnp.float32)
+                new_arrays = {
+                    "tok_buf": jnp.concatenate([tail_tok, sel], axis=1),
+                    "pos_buf": jnp.concatenate(
+                        [tail_pos,
+                         jnp.broadcast_to(new_pos[None], (n, beam_width))],
+                        axis=1),
+                    "cross_kv": cross_kv,
+                    "pos_next": (pos0 + beam_width).astype(jnp.int32),
+                }
+                return new_arrays, sel
+            return fn
+
+        if crossing:
+            shapes = (arrays["logits"].shape, arrays["ctx"].shape,
+                      arrays["caches"][0]["k"].shape,
+                      str(arrays["caches"][0]["k"].dtype), c0)
+        else:
+            shapes = (arrays["tok_buf"].shape,)
+        key = ("winroll_seg", kind, beam_width, num_beam, n_cached, settings,
+               window, shapes)
         return self._jitted(key, build)(params, arrays, rng)
 
     # ------------------------------------------------------------------
@@ -545,7 +717,39 @@ class DecodeEngine:
                     state.cache_len = new_len
                 state.arrays, tokens = self._rollout_segment(
                     params, state.arrays, seg_rng, beam_width, num_beam,
-                    settings)
+                    settings,
+                    prefix_len=state.init_len + state.gen_count)
+                state.gen_count += beam_width
+                out.append(tokens)
+                continue
+
+            # shared windowed path (crossing + steady sliding segments):
+            # the window's shared slots stay at N rows — the legacy path
+            # below tiled the whole state and re-ran the full window at
+            # N*B rows per step.
+            if (not self.legacy_windowed_rollouts
+                    and state.window is not None
+                    and beam_width < state.window):
+                if state.mode == "cached":
+                    n_cached = cached_left
+                    needed = state.init_len + state.gen_count + n_cached
+                    if n_cached > 0 and needed > state.cache_len:
+                        new_len = _bucket_schedule(needed, state.total_len)
+                        state.arrays = self._grow_cache(state.arrays,
+                                                        new_len)
+                        state.cache_len = new_len
+                    state.arrays, tokens = self._windowed_rollout_segment(
+                        params, state.arrays, seg_rng, beam_width, num_beam,
+                        settings, n_cached=n_cached, window=state.window,
+                        init_len=state.init_len, gen0=state.gen_count,
+                        kind="crossing")
+                    state.mode = "windowed"
+                else:
+                    state.arrays, tokens = self._windowed_rollout_segment(
+                        params, state.arrays, seg_rng, beam_width, num_beam,
+                        settings, n_cached=0, window=state.window,
+                        init_len=state.init_len, gen0=state.gen_count,
+                        kind="steady")
                 state.gen_count += beam_width
                 out.append(tokens)
                 continue

@@ -365,6 +365,105 @@ class Transformer:
             })
         return merged
 
+    def window_forward_shared(self, params, shared_tokens, block_tokens,
+                              shared_pos_cond=None, block_pos_cond=None,
+                              cross_kv=None):
+        """Sliding-window recompute where the window's leading ``S0`` slots
+        are SHARED across B rollouts (beam decode once the window slides).
+
+        The reference's windowed beam decode re-runs the full window for
+        every rollout (``generate_images.py:271-286``); but every window slot
+        generated before the current segment is identical across the
+        ``num_beam`` rollouts of a batch element, so the expensive part of
+        the recompute — embedding, K/V and the layer stack over the shared
+        slots — runs at N rows here, and only the segment tail (< beam_width
+        slots) runs at N*B rows, attending to the shared slots through
+        :func:`qaig_tpu.ops.attention.shared_prefix_block_attention`.
+
+        Args:
+          shared_tokens: (N, S0) shared leading window slots.
+          block_tokens: (N*B, T) per-rollout tail slots (T >= 1); the window
+            is their concatenation, ``seq = S0 + T``.
+          shared_pos_cond / block_pos_cond: absolute-position conditioning
+            per slot when ``use_pos_cond``.
+          cross_kv: precomputed encoder K/V at N rows (never tiled).
+
+        Returns final-tail-position logits (N*B, out_dim) — exactly
+        ``window_forward(concat window, last_only=True)[:, 0]`` per rollout.
+        """
+        from qaig_tpu.ops.attention import (dot_product_attention,
+                                            shared_cross_attention,
+                                            shared_prefix_block_attention,
+                                            split_heads)
+        cfg = self.cfg
+        bcfg = self.dec_block_cfg
+        n, s0 = shared_tokens.shape
+        nb, t = block_tokens.shape
+        seq = s0 + t
+        heads = cfg.self_attn_heads
+
+        hs = core.embedding_lookup(params["dec_embedding"], shared_tokens)
+        hb = core.embedding_lookup(params["dec_embedding"], block_tokens)
+        pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, seq + 1))
+        hs = hs + pos[None, :s0].astype(hs.dtype)
+        hb = hb + pos[None, s0:].astype(hb.dtype)
+
+        cond_s = cond_b = None
+        if cfg.use_pos_cond:
+            cond_s = self.pos_cond_embedding(params, shared_pos_cond)
+            cond_b = self.pos_cond_embedding(params, block_pos_cond)
+
+        cross_kv = cross_kv or [None] * cfg.num_dec_layers
+        cross_heads = cfg.cross_attn_heads or heads
+        n_layers = cfg.num_dec_layers
+        for i, (layer, ckv) in enumerate(
+                zip(params["decoder_layers"], cross_kv)):
+            last = i == n_layers - 1
+            sa = layer["self_attn"]
+
+            # -- self-attention: shared stream stays at N rows ------------
+            hs_n = blocks.block_norm(sa["norm"], bcfg, hs, cond_s)
+            hb_n = blocks.block_norm(sa["norm"], bcfg, hb, cond_b)
+            k_s, v_s = blocks.project_kv(sa["attn"], hs_n, bcfg.act)
+            k_b, v_b = blocks.project_kv(sa["attn"], hb_n, bcfg.act)
+            if not last:
+                q_s = blocks.project_q(sa["attn"], hs_n, bcfg.act)
+                attn_s = dot_product_attention(q_s, k_s, v_s, heads,
+                                               causal=True)
+                hs = blocks.residual(sa["res"], attn_s, hs, cond_s, bcfg.act)
+            # last layer: only the final tail query feeds the classifier
+            q_b = blocks.project_q(sa["attn"],
+                                   hb_n[:, -1:] if last else hb_n, bcfg.act)
+            x0b = hb[:, -1:] if last else hb
+            if last and cond_b is not None:
+                cond_b = cond_b[:, -1:]
+            attn_b = shared_prefix_block_attention(
+                q_b, split_heads(k_s, heads), split_heads(v_s, heads),
+                split_heads(k_b, heads), split_heads(v_b, heads))
+            hb = blocks.residual(sa["res"], attn_b, x0b, cond_b, bcfg.act)
+
+            # -- cross-attention (precomputed encoder K/V at N rows) ------
+            if cfg.use_encoder:
+                if not last:
+                    hs = blocks.cross_attn_block(
+                        layer["cross_attn"], bcfg, hs, None, cond=cond_s,
+                        precomputed_kv=ckv)
+                ca = layer["cross_attn"]
+                x0b = hb
+                hb_n2 = blocks.block_norm(ca["norm"], bcfg, hb, cond_b)
+                q2 = blocks.project_q(ca["attn"], hb_n2, bcfg.act)
+                attn2 = shared_cross_attention(
+                    q2, split_heads(ckv["k"], cross_heads),
+                    split_heads(ckv["v"], cross_heads))
+                hb = blocks.residual(ca["res"], attn2, x0b, cond_b, bcfg.act)
+
+            # -- feedforward ----------------------------------------------
+            if not last:
+                hs = blocks.ffn_block(layer["ffn"], bcfg, hs, cond=cond_s)
+            hb = blocks.ffn_block(layer["ffn"], bcfg, hb, cond=cond_b)
+
+        return self.classify(params, hb)[:, 0]
+
     def window_forward(self, params, tokens, pos_cond=None, cross_kv=None,
                        last_only=False):
         """Full decoder forward over a fixed window with *precomputed* cross

@@ -171,19 +171,69 @@ def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
 
 def shared_cross_attention(q, k_shared, v_shared):
     """Cross-attention where K/V ((N, H, S, dh), all slots valid) are shared
-    across B rollouts; q is (N*B, 1, D)."""
-    nb, _, d = q.shape
+    across B rollouts; q is (N*B, T, D) (T >= 1 query slots)."""
+    nb, t, d = q.shape
     n, heads, s, dh = k_shared.shape
     b = nb // n
     scale = 1.0 / math.sqrt(dh)
 
-    qg = split_heads(q, heads).reshape(n, b, heads, 1, dh)
+    qg = split_heads(q, heads).reshape(n, b, heads, t, dh)
     scores = jnp.einsum("nbhqd,nhkd->nbhqk", qg, k_shared,
                         preferred_element_type=jnp.float32) * scale
     weights = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("nbhqk,nhkd->nbhqd", weights, v_shared,
                      preferred_element_type=jnp.float32)
-    return merge_heads(out.reshape(nb, heads, 1, dh)).astype(q.dtype)
+    return merge_heads(out.reshape(nb, heads, t, dh)).astype(q.dtype)
+
+
+def shared_prefix_block_attention(q, k_shared, v_shared, k_block, v_block):
+    """Windowed-decode attention for a per-rollout tail over a window whose
+    leading slots are SHARED across B rollouts.
+
+    Used by the shared windowed rollout segment
+    (:meth:`qaig_tpu.models.transformer.Transformer.window_forward_shared`):
+    when the sliding window starts moving during beam-rollout decode, the
+    window's leading slots (everything generated before the current segment)
+    are identical across the ``B`` rollouts of a batch element, so their K/V
+    stay at N rows and only the segment's tail is per-rollout.
+
+    Args:
+      q: (N*B, Tq, D) queries for the LAST ``Tq`` tail slots (tail-aligned:
+        query ``i`` sits at tail position ``T - Tq + i``).
+      k_shared, v_shared: (N, H, S0, dh) shared window slots — all valid and
+        all causally visible to every tail slot.
+      k_block, v_block: (N*B, H, T, dh) per-rollout tail K/V.
+
+    Returns (N*B, Tq, D).
+    """
+    nb, tq, d = q.shape
+    n, heads, s0, dh = k_shared.shape
+    b = nb // n
+    t = k_block.shape[2]
+    scale = 1.0 / math.sqrt(dh)
+
+    qh = split_heads(q, heads)                      # (N*B, H, Tq, dh)
+    qg = qh.reshape(n, b, heads, tq, dh)
+
+    s_shared = jnp.einsum("nbhqd,nhkd->nbhqk", qg, k_shared,
+                          preferred_element_type=jnp.float32) * scale
+    s_shared = s_shared.reshape(nb, heads, tq, s0)
+
+    s_block = jnp.einsum("nhqd,nhkd->nhqk", qh, k_block,
+                         preferred_element_type=jnp.float32) * scale
+    q_pos = jnp.arange(tq) + (t - tq)               # tail-aligned positions
+    causal = q_pos[:, None] >= jnp.arange(t)[None, :]
+    s_block = jnp.where(causal[None, None], s_block, NEG_INF)
+
+    scores = jnp.concatenate([s_shared, s_block], axis=-1)
+    weights = jax.nn.softmax(scores, axis=-1)
+    w_shared = weights[..., :s0].reshape(n, b, heads, tq, s0)
+    out = jnp.einsum("nbhqk,nhkd->nbhqd", w_shared, v_shared,
+                     preferred_element_type=jnp.float32).reshape(
+                         nb, heads, tq, dh)
+    out = out + jnp.einsum("nhqk,nhkd->nhqd", weights[..., s0:], v_block,
+                           preferred_element_type=jnp.float32)
+    return merge_heads(out).astype(q.dtype)
 
 
 def decode_attention_presplit(q, k_cache, v_cache, kv_mask):

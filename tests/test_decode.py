@@ -361,6 +361,88 @@ def test_base_mode_multitoken_rollout_generate_runs(rng):
     assert tokens.min() >= lr_k and tokens.max() < lr_k + hr_k
 
 
+@pytest.mark.parametrize("use_encoder", [False, True])
+def test_shared_windowed_rollout_matches_legacy(rng, monkeypatch,
+                                                use_encoder):
+    """The shared windowed rollout path (window slots at N rows, only the
+    per-rollout tail at N*B rows) must reproduce the legacy tile-everything
+    path token-for-token at greedy sampling, through the crossing segment
+    AND the steady-state sliding segments, with nontrivial beam selection
+    (logp accumulates real probabilities)."""
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+
+    monkeypatch.setattr(
+        jax.random, "categorical",
+        lambda key, logits, axis=-1, **kw: jnp.argmax(logits, axis=axis))
+
+    cfg = _small_cfg(use_encoder=use_encoder, use_pos_cond=True)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(7))
+    settings = SamplerSettings(temperature=1.0, end_token=11,
+                               end_mode="mask", index_shift=0, pos_offset=1)
+
+    n, num_beam, bw, window, steps = 2, 3, 4, 8, 16
+    init = jnp.asarray(rng.integers(0, cfg.num_dec_embedding, (n, 1)))
+    x_enc = (jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+             if use_encoder else None)
+    key = jax.random.PRNGKey(3)
+
+    # segment 1 cached fast path, segment 2 crossing (3 cached + 1 slid),
+    # segments 3-4 steady-state sliding
+    legacy = DecodeEngine(model, legacy_windowed_rollouts=True)
+    want = np.asarray(legacy.rollout_generate(
+        params, init, steps, key, settings, num_beam=num_beam,
+        beam_width=bw, x_enc=x_enc, sliding_window=window))
+
+    shared = DecodeEngine(model)
+    got = np.asarray(shared.rollout_generate(
+        params, init, steps, key, settings, num_beam=num_beam,
+        beam_width=bw, x_enc=x_enc, sliding_window=window))
+
+    np.testing.assert_array_equal(got, want)
+
+
+def test_window_forward_shared_matches_window_forward(rng):
+    """window_forward_shared == window_forward(concat window, last_only)
+    per rollout, for every tail length."""
+    from qaig_tpu.ops.attention import NEG_INF  # noqa: F401 (import check)
+
+    cfg = _small_cfg(use_encoder=True, use_pos_cond=True)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(9))
+
+    n, b, window = 2, 3, 8
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+    enc_out = model.encode(params, x_enc)
+    cross_kv = model.make_cross_kv(params, enc_out)
+
+    for t in (1, 3, window - 2):
+        s0 = (window - 1) - t
+        sh_tok = jnp.asarray(
+            rng.integers(0, cfg.num_dec_embedding, (n, s0)))
+        blk_tok = jnp.asarray(
+            rng.integers(0, cfg.num_dec_embedding, (n * b, t)))
+        sh_pos = jnp.asarray(rng.integers(0, 20, (n, s0)), jnp.float32)
+        blk_pos = jnp.asarray(rng.integers(0, 20, (n * b, t)), jnp.float32)
+
+        got = model.window_forward_shared(
+            params, sh_tok, blk_tok, shared_pos_cond=sh_pos,
+            block_pos_cond=blk_pos, cross_kv=cross_kv)
+
+        # oracle: per-rollout full window forward
+        sh_tok_t = jnp.repeat(sh_tok, b, axis=0)
+        sh_pos_t = jnp.repeat(sh_pos, b, axis=0)
+        cross_kv_t = [{k: jnp.repeat(v, b, axis=0) for k, v in c.items()}
+                      for c in cross_kv]
+        full_tok = jnp.concatenate([sh_tok_t, blk_tok], axis=1)
+        full_pos = jnp.concatenate([sh_pos_t, blk_pos], axis=1)
+        want = model.window_forward(
+            params, full_tok, pos_cond=full_pos, cross_kv=cross_kv_t,
+            last_only=True)[:, 0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, err_msg=f"tail length {t}")
+
+
 def test_int8_prefix_rollout_matches_exact_closely(rng):
     """quantized_prefix=True produces the same shapes/valid vocab and a
     trajectory that tracks the exact engine closely at greedy sampling
