@@ -16,6 +16,9 @@ def main():
     parser.add_argument("--num-images", type=int, default=25)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--config-path", required=True, type=pathlib.Path)
+    parser.add_argument("--bf16", action="store_true",
+                        help="Serving precision: run the cascade in bfloat16 "
+                             "(fp32 reference numerics stay the default).")
     parser.add_argument("--profile-dir", default=None, type=pathlib.Path,
                         help="Capture a jax.profiler trace of the cascade "
                              "generation here.")

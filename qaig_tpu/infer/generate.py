@@ -120,7 +120,13 @@ def run(args):
         raise RuntimeError(
             "An error occured while loading decoder model checkpoint!")
     decoder, dec_params, _ = common.decoder_from_checkpoint(dec_ckpt)
-    decode_image = jax.jit(decoder.apply)
+    # --bf16: serving precision — bfloat16 compute halves the decode's HBM
+    # streams; fp32 (reference numerics) stays the default.
+    cast = ((lambda t: common.cast_floats(t, jnp.bfloat16))
+            if args.get("bf16") else (lambda t: t))
+    dec_params = cast(dec_params)
+    decode_image = jax.jit(
+        lambda p, q: decoder.apply(p, q).astype(jnp.float32))
 
     prev_tokens = None
     if profiler.dir:
@@ -138,6 +144,7 @@ def run(args):
                 raise RuntimeError(
                     "An error occured while loading codebook checkpoint!")
             lr_codebook, lr_params = common.codebook_from_checkpoint(lr_ckpt)
+            lr_params = cast(lr_params)
             lr_num_embeddings = lr_codebook.num_embeddings
 
         status, hr_ckpt = load_model(stage_cfg["hr_codebook_path"])
@@ -145,6 +152,7 @@ def run(args):
             raise RuntimeError(
                 "An error occured while loading codebook checkpoint!")
         hr_codebook, hr_params = common.codebook_from_checkpoint(hr_ckpt)
+        hr_params = cast(hr_params)
         hr_num_embeddings = hr_codebook.num_embeddings
         total_seq = hr_codebook.seq_len
 
@@ -156,6 +164,7 @@ def run(args):
             raise RuntimeError(
                 "An error occured while loading model checkpoint!")
         model, params, model_ckpt = transformer_from_checkpoint(model_ckpt)
+        params = cast(params)
         sliding_window = (model_ckpt["sliding_window"]
                           if model_ckpt["use_sliding_window"] else None)
 

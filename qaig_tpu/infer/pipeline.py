@@ -69,15 +69,24 @@ class CascadePipeline:
 
     @classmethod
     def from_config(cls, config_dict, decoder_path, logging=print,
-                    mesh=None):
+                    mesh=None, dtype=None):
         """``config_dict`` is the generate_images staged config (keys
-        "0","1",... with model/codebook paths + sampling settings)."""
+        "0","1",... with model/codebook paths + sampling settings).
+
+        ``dtype``: optional compute dtype for every float parameter
+        (``jnp.bfloat16`` halves the decode's HBM streams and runs the
+        matmuls at the MXU's native precision — the serving configuration;
+        token sequences may differ from fp32 within sampling tolerance).
+        Integer token plumbing is unaffected."""
         status, dec_ckpt = load_model(decoder_path, logging=logging)
         if not status:
             raise RuntimeError(
                 "An error occured while loading decoder model checkpoint!")
         decoder, dec_params, _ = common.decoder_from_checkpoint(
             dec_ckpt, logging=logging)
+        cast = ((lambda t: common.cast_floats(t, dtype))
+                if dtype is not None else (lambda t: t))
+        dec_params = cast(dec_params)
 
         stages = []
         for index in sorted(config_dict.keys(), key=int):
@@ -107,6 +116,10 @@ class CascadePipeline:
                     "An error occured while loading model checkpoint!")
             model, params, model_ckpt = transformer_from_checkpoint(
                 model_ckpt, logging=logging)
+            params = cast(params)
+            hr_params = cast(hr_params)
+            if lr_params is not None:
+                lr_params = cast(lr_params)
 
             total_seq = hr_codebook.seq_len
             if total_seq % stage_cfg["beam_width"] != 0:
@@ -170,4 +183,5 @@ class CascadePipeline:
         last = self.stages[-1]
         quant = last.hr_codebook.get_quantized_image(last.hr_params, tokens)
         images = self._decode_jit(self.dec_params, quant)
-        return images, tokens
+        # host-friendly output regardless of the compute dtype
+        return images.astype(jnp.float32), tokens

@@ -48,10 +48,18 @@ def build_autoencoder(config_dict):
     return Autoencoder(cfg), cfg
 
 
-def make_train_step(model, optimizer):
+def make_train_step(model, optimizer, bf16=False):
+    """``bf16``: conv forward/backward in bfloat16, master weights /
+    gradients / Adam moments / loss in float32 (opt-in mixed precision —
+    the reference trains fp32-only)."""
     def step(params, opt_state, batch):
         def loss_fn(p):
-            recon = model.apply(p, batch)
+            if bf16:
+                p = common.cast_floats(p, jnp.bfloat16)
+                recon = model.apply(p, batch.astype(jnp.bfloat16))
+                recon = recon.astype(jnp.float32)
+            else:
+                recon = model.apply(p, batch)
             return jnp.mean((recon - batch) ** 2)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -132,7 +140,8 @@ def run(args):
                         process_index=jax.process_index(),
                         process_count=jax.process_count())
 
-    train_step = make_train_step(model, optimizer)
+    train_step = make_train_step(model, optimizer,
+                                 bf16=bool(args.get("bf16")))
 
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(params))

@@ -17,6 +17,14 @@ def load_config(path):
         return json.load(f)
 
 
+def cast_floats(tree, dtype):
+    """Cast every float leaf of a pytree to ``dtype`` (mixed-precision
+    compute casts; integer leaves untouched)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 def select_platform(device):
     """Map the CLI --device flag onto jax platforms.  'auto' keeps whatever
     the environment provides (TPU when present)."""

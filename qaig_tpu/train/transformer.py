@@ -108,7 +108,14 @@ def sample_windows(rng, hr_input, hr_target, window):
 
 def make_train_step(model, optimizer, lr_codebook, hr_codebook,
                     train_base_model, lr_num_embeddings, hr_num_embeddings,
-                    sliding_window=None):
+                    sliding_window=None, bf16=False):
+    """``bf16``: mixed-precision training — the forward/backward compute
+    runs in bfloat16 (MXU-native) while master weights, gradients, Adam
+    moments, and the loss stay float32.  BMU tokenization always runs in
+    float32 so token assignments match the full-precision pipeline
+    bit-for-bit.  Opt-in (``--bf16``); no reference equivalent (the
+    reference trains fp32-only, ``train_quantized_transformer.py:490-508``).
+    """
     def step(params, opt_state, cb_params, batch, rng):
         lr_params, hr_params = cb_params
         lr_idx = lr_codebook.get_patches_bmu(lr_params, batch, reshape=True)
@@ -123,10 +130,13 @@ def make_train_step(model, optimizer, lr_codebook, hr_codebook,
                 rng, hr_input, hr_target, sliding_window)
 
         def loss_fn(p):
+            if bf16:
+                p = common.cast_floats(p, jnp.bfloat16)
             logits = model.apply(p, hr_input, x_enc=lr_input,
                                  pos_cond=pos_cond)
             losses = optax.softmax_cross_entropy_with_integer_labels(
-                logits.reshape(-1, logits.shape[-1]), hr_target.reshape(-1))
+                logits.astype(jnp.float32).reshape(-1, logits.shape[-1]),
+                hr_target.reshape(-1))
             return jnp.mean(losses)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -291,7 +301,8 @@ def run(args):
 
     train_step = make_train_step(
         model, optimizer, lr_codebook, hr_codebook, train_base_model,
-        lr_num_embeddings, hr_num_embeddings, sliding_window)
+        lr_num_embeddings, hr_num_embeddings, sliding_window,
+        bf16=bool(args.get("bf16")))
     engine = DecodeEngine(model)
 
     quant_hr = jax.jit(lambda p, x: hr_codebook.apply(

@@ -14,7 +14,7 @@ from qaig_tpu.train.transformer import make_train_step
 from qaig_tpu.ops import attention
 
 
-def main(batch=64, use_flash=None, remat=False):
+def main(batch=64, use_flash=None, remat=False, bf16=False):
     if use_flash is not None:
         attention.set_flash_enabled(use_flash)
     k = 512
@@ -34,7 +34,7 @@ def main(batch=64, use_flash=None, remat=False):
     lr_p = lr_cb.init(jax.random.PRNGKey(1))
     hr_p = hr_cb.init(jax.random.PRNGKey(2))
     step = make_train_step(model, optimizer, lr_cb, hr_cb, False, k, k,
-                           sliding_window=256)
+                           sliding_window=256, bf16=bf16)
 
     fmap = jnp.zeros((batch, 4, 32, 32), jnp.float32)
     key = jax.random.PRNGKey(3)
@@ -50,11 +50,19 @@ def main(batch=64, use_flash=None, remat=False):
         acc = acc + loss
     _ = float(acc)
     dt = (time.time() - t0) / n
-    tag = f"flash={use_flash} remat={remat} batch={batch}"
+    tag = f"flash={use_flash} remat={remat} batch={batch} bf16={bf16}"
     print(f"{tag}: {dt * 1000:.1f} ms/step, "
           f"{batch / dt:.1f} samples/sec")
 
 
 if __name__ == "__main__":
-    main(use_flash=True)
-    main(use_flash=False)
+    import sys as _sys
+    if "--bf16-ab" in _sys.argv:
+        main(use_flash=False)
+        main(use_flash=False, bf16=True)
+        main(use_flash=False, batch=128)
+        main(use_flash=False, batch=128, bf16=True)
+        main(use_flash=False, batch=256, bf16=True)
+    else:
+        main(use_flash=True)
+        main(use_flash=False)

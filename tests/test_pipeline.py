@@ -172,3 +172,25 @@ def test_full_pipeline(tmp_path):
     assert np.asarray(tokens2).shape == (2, 16)
     images2, _ = pipe.generate(2, seed=3)
     np.testing.assert_array_equal(np.asarray(images), np.asarray(images2))
+
+    # -- bf16 serving precision: whole cascade in bfloat16 ------------------
+    import jax.numpy as jnp
+    pipe16 = CascadePipeline.from_config(gen_cfg, ae_ckpt,
+                                         dtype=jnp.bfloat16)
+    img16, tok16 = pipe16.generate(2, seed=3)
+    assert img16.dtype == jnp.float32  # host-friendly output
+    assert img16.shape == (2, 3, 16, 16)
+    tok16 = np.asarray(tok16)
+    assert tok16.shape == (2, 16)
+    assert tok16.min() >= 0 and tok16.max() < 16
+    assert np.isfinite(np.asarray(img16)).all()
+
+    # the CLI flag drives the same cast
+    gen16_out = tmp_path / "gen16"
+    tokens16 = generate.run({
+        "decoder_path": ae_ckpt, "config_path": gen_cfg_path,
+        "out_dir": gen16_out, "num_images": 2, "seed": 7, "bf16": True})
+    tokens16 = np.asarray(tokens16)
+    assert tokens16.shape == (2, 16)
+    assert tokens16.min() >= 0 and tokens16.max() < 16
+    assert (gen16_out / "images" / "recon_model_1.jpg").exists()

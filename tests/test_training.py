@@ -145,3 +145,89 @@ def test_autoencoder_resume_with_optimizer(tmp_path):
     # at minimum: run completed and produced finite params
     leaves = jax.tree_util.tree_leaves(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_transformer_bf16_mixed_precision_trains():
+    """--bf16 (mixed precision): the loss optimizes, master weights /
+    gradients / Adam moments stay float32, and the first-step loss matches
+    the fp32 step closely (same tokenization, bf16 rounding only)."""
+    from qaig_tpu.models.codebook import Codebook
+    from qaig_tpu.models.transformer import Transformer
+    from qaig_tpu.train.transformer import (build_transformer_config,
+                                            make_train_step)
+    from qaig_tpu.train.optim import make_adam
+
+    lr_cb = Codebook(patch_dim=(4, 4), image_dim=(4, 4), image_channel=2,
+                     num_embeddings=4, init_neighbour_range=2)
+    hr_cb = Codebook(patch_dim=(1, 1), image_dim=(4, 4), image_channel=2,
+                     num_embeddings=8, init_neighbour_range=4)
+    cfg = build_transformer_config(
+        {"use_sliding_window": True, "sliding_window": 8,
+         "num_enc_layers": 1, "num_dec_layers": 1, "self_attn_heads": 2,
+         "cross_attn_heads": 2, "in_dim": 16, "hidden_dim": 32,
+         "hidden_activation": "silu"},
+        train_base_model=False, lr_num_embeddings=4, hr_num_embeddings=8)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_adam(3e-3, 10_000)
+    opt_state = optimizer.init(params)
+    step16 = make_train_step(model, optimizer, lr_cb, hr_cb, False, 4, 8,
+                             sliding_window=8, bf16=True)
+    step32 = make_train_step(model, optimizer, lr_cb, hr_cb, False, 4, 8,
+                             sliding_window=8)
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(-1, 1, (8, 2, 4, 4)), jnp.float32)
+    cb_params = (lr_cb.init(jax.random.PRNGKey(1)),
+                 hr_cb.init(jax.random.PRNGKey(2)))
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)  # noqa: E731
+    _, _, loss32 = step32(copy(params), copy(opt_state), cb_params, batch,
+                          jax.random.PRNGKey(3))
+    p, s, loss16 = step16(copy(params), copy(opt_state), cb_params, batch,
+                          jax.random.PRNGKey(3))
+    assert loss16.dtype == jnp.float32
+    assert abs(float(loss16) - float(loss32)) < 0.05 * float(loss32)
+    for leaf in jax.tree_util.tree_leaves(p):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32  # master weights stay fp32
+    for leaf in jax.tree_util.tree_leaves(s):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            assert leaf.dtype == jnp.float32  # Adam moments stay fp32
+
+    losses = []
+    key = jax.random.PRNGKey(3)
+    for i in range(150):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step16(params, opt_state, cb_params,
+                                         batch, k)
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < 0.7 * np.mean(losses[:10]), losses[::30]
+
+
+def test_autoencoder_bf16_mixed_precision_trains():
+    from qaig_tpu.train.autoencoder import build_autoencoder, make_train_step
+    from qaig_tpu.train.optim import make_adam
+
+    cfg_dict = {
+        "model_lr": 3e-3, "image_channel": 3, "min_channel": 8,
+        "max_channel": 16, "num_layers": 1, "latent_channel": 4,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh"}
+    model, cfg = build_autoencoder(cfg_dict)
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = make_adam(3e-3, 10_000)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, bf16=True)
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(-1, 1, (4, 3, 8, 8)), jnp.float32)
+    losses = []
+    for _ in range(80):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < 0.6 * losses[0], losses[::16]
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32

@@ -27,6 +27,9 @@ def main():
     parser.add_argument("--max-steps", type=int, default=None,
                         help="Optional hard step cap (smoke runs).")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--bf16", action="store_true",
+                        help="Mixed-precision training: bfloat16 compute, float32 "
+                             "master weights/optimizer (TPU MXU-native).")
     parser.add_argument("--debug-nans", action="store_true",
                         help="Enable jax_debug_nans (fail at the faulty op).")
     parser.add_argument("--profile-dir", default=None, type=pathlib.Path,

@@ -45,6 +45,9 @@ def main():
     parser.add_argument("--use-activation-checkpoint", action="store_true")
     parser.add_argument("--skip-preview", action="store_true",
                         help="Skip checkpoint-time AR image previews.")
+    parser.add_argument("--bf16", action="store_true",
+                        help="Mixed-precision training: bfloat16 compute, float32 "
+                             "master weights/optimizer (TPU MXU-native).")
     parser.add_argument("--debug-nans", action="store_true",
                         help="Enable jax_debug_nans (fail at the faulty op).")
     parser.add_argument("--profile-dir", default=None, type=pathlib.Path,
