@@ -241,7 +241,7 @@ def _run(args, mode):
     n_chips = len(jax.devices())
     global_batch = args.batch * n_chips
     if n_chips > 1:
-        from qaig_tpu.parallel import batch_sharding, shard_tree
+        from qaig_tpu.parallel import shard_tree
         from qaig_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(n_data=n_chips, n_model=1)
         stage_params = [shard_tree(mesh, p) for p in stage_params]

@@ -5,7 +5,6 @@ single-device result (same math, different layout).
 """
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -3,7 +3,6 @@
 import json
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 
@@ -31,7 +30,6 @@ def test_autoencoder_loss_decreases(tmp_path):
     first step."""
     from qaig_tpu.train.autoencoder import build_autoencoder, make_train_step
     from qaig_tpu.train.optim import make_adam
-    import optax
 
     cfg_dict = {
         "model_lr": 3e-3, "image_channel": 3, "min_channel": 8,
