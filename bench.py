@@ -158,7 +158,8 @@ def run_cascade(stages, decoder, dec_params, num_images, stage_params, rng,
 
 def decode_pixels(stages, decoder, dec_params, tokens):
     hr_cb, hr_params = stages[-1]["hr"]
-    quant = hr_cb.get_quantized_image(hr_params, tokens).astype(jnp.bfloat16)
+    dec_dtype = jax.tree_util.tree_leaves(dec_params)[0].dtype
+    quant = hr_cb.get_quantized_image(hr_params, tokens).astype(dec_dtype)
     return decoder.apply(dec_params, quant)
 
 
@@ -211,6 +212,10 @@ def main():
                         help="int8 shared-prefix KV cache (serving option; "
                              "small numeric delta, ~halves the dominant "
                              "decode HBM stream)")
+    parser.add_argument("--fp32", action="store_true",
+                        help="run the cascade in float32 (the product "
+                             "default / reference numerics) instead of the "
+                             "bfloat16 serving precision")
     args = parser.parse_args()
 
     backend = jax.default_backend()
@@ -220,6 +225,8 @@ def main():
     mode = "single" if args.no_beams else "beams"
     if args.int8_kv:
         mode += "_int8kv"
+    if args.fp32:
+        mode += "_fp32"
     try:
         _run(args, mode=mode)
     except Exception as e:  # never leave the driver without a metric line
@@ -233,7 +240,9 @@ def main():
 
 def _run(args, mode):
     stages, decoder, dec_params = build_cascade(
-        args.scale, int8_kv=getattr(args, "int8_kv", False))
+        args.scale, dtype=(jnp.float32 if getattr(args, "fp32", False)
+                           else jnp.bfloat16),
+        int8_kv=getattr(args, "int8_kv", False))
     stage_params = [st["params"] for st in stages]
 
     # >1 chip: shard the image batch over a ('data',) mesh; params stay
