@@ -23,6 +23,27 @@ class ImageDataset:
         self.manifest = Manifest(dataset_path)
         if len(self.manifest) == 0:
             raise ValueError("No data found.")
+        self._item_shape = None
+
+    def load_batch(self, indices):
+        """Native threaded batch decode (JPEG/PNG -> BGR CHW [-1, 1] in
+        C++, pixel-identical to the cv2 path); returns None to fall back
+        to per-item cv2 loading."""
+        if self.return_filepaths:
+            return None
+        from qaig_tpu import native
+        if not native.IMAGE_AVAILABLE:
+            return None
+        if self._item_shape is None:
+            self._item_shape = self[indices[0]].shape
+        c, h, w = self._item_shape
+        if c != 3:
+            return None
+        paths = [self.manifest[i]["image_fpath"] for i in indices]
+        try:
+            return native.load_image_batch(paths, h, w)
+        except Exception:
+            return None
 
     def __len__(self):
         return len(self.manifest)

@@ -14,9 +14,13 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "npy_loader.cpp")
 _SO = os.path.join(_DIR, "libqaig_native.so")
+_IMG_SRC = os.path.join(_DIR, "image_loader.cpp")
+_IMG_SO = os.path.join(_DIR, "libqaig_image.so")
 
 AVAILABLE = False
+IMAGE_AVAILABLE = False
 _lib = None
+_img_lib = None
 
 
 def _build():
@@ -47,7 +51,33 @@ def _load():
         AVAILABLE = False
 
 
+def _load_image_lib():
+    """The image decoder links against system libjpeg/libpng, which may be
+    absent — it gets its own .so and availability flag so a failed build
+    never takes the .npy fast path down with it."""
+    global _img_lib, IMAGE_AVAILABLE
+    try:
+        if (not os.path.exists(_IMG_SO)
+                or os.path.getmtime(_IMG_SO) < os.path.getmtime(_IMG_SRC)):
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                   "-pthread", _IMG_SRC, "-ljpeg", "-lpng",
+                   "-o", _IMG_SO + ".tmp"]
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(_IMG_SO + ".tmp", _IMG_SO)
+        _img_lib = ctypes.CDLL(_IMG_SO)
+        _img_lib.qaig_load_image_batch.restype = ctypes.c_int
+        _img_lib.qaig_load_image_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        IMAGE_AVAILABLE = True
+    except Exception:
+        _img_lib = None
+        IMAGE_AVAILABLE = False
+
+
 _load()
+_load_image_lib()
 
 
 def load_npy_batch(paths, item_shape, num_threads=4):
@@ -64,6 +94,25 @@ def load_npy_batch(paths, item_shape, num_threads=4):
         item_floats, num_threads)
     if rc != 0:
         raise IOError(f"native npy batch load failed on {paths[rc - 100]}")
+    return out
+
+
+def load_image_batch(paths, height, width, num_threads=4):
+    """Decode ``len(paths)`` JPEG/PNG files of exactly (height, width, 3)
+    into one (N, 3, H, W) float32 BGR batch in [-1, 1] via the native
+    thread pool.  Raises on unsupported files so callers can fall back to
+    the cv2 path."""
+    if not IMAGE_AVAILABLE:
+        raise RuntimeError("native image library unavailable")
+    n = len(paths)
+    out = np.empty((n, 3, height, width), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = _img_lib.qaig_load_image_batch(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        height, width, num_threads)
+    if rc != 0:
+        raise IOError(
+            f"native image batch load failed on {paths[rc - 100]}")
     return out
 
 

@@ -58,3 +58,52 @@ def test_dataset_native_batch_matches_python(tmp_path, rng):
     assert batch is not None
     want = np.stack([ds[3], ds[1], ds[4]])
     np.testing.assert_array_equal(batch, want)
+
+
+@pytest.mark.skipif(not native.IMAGE_AVAILABLE,
+                    reason="native image library unavailable")
+def test_native_image_batch_matches_cv2(tmp_path, rng):
+    """The C++ JPEG/PNG decoder must be pixel-identical to the Python cv2
+    path (BGR, (x-127.5)/127.5, CHW) on both formats, including a grayscale
+    PNG (promoted to 3 channels like cv2's IMREAD_COLOR)."""
+    import cv2
+    from qaig_tpu.data.manifest import write_manifest
+    from qaig_tpu.data.image_dataset import ImageDataset
+
+    h, w = 12, 10
+    paths = []
+    for i in range(4):
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = str(tmp_path / f"{i}.png")
+        cv2.imwrite(p, arr)
+        paths.append(p)
+    for i in range(4, 7):
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(p, arr)
+        paths.append(p)
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    p = str(tmp_path / "gray.png")
+    cv2.imwrite(p, gray)
+    paths.append(p)
+
+    manifest = str(tmp_path / "dataset.json")
+    write_manifest(manifest, [{"image_fpath": p, "labels": []}
+                              for p in paths])
+    ds = ImageDataset(manifest)
+
+    got = ds.load_batch(list(range(len(paths))))
+    assert got is not None, "native batch path did not engage"
+    want = np.stack([ds[i] for i in range(len(paths))])
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(not native.IMAGE_AVAILABLE,
+                    reason="native image library unavailable")
+def test_native_image_batch_dim_mismatch_raises(tmp_path, rng):
+    import cv2
+
+    p = str(tmp_path / "small.png")
+    cv2.imwrite(p, rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))
+    with pytest.raises(IOError):
+        native.load_image_batch([p], 8, 8)
