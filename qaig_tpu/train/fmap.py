@@ -44,11 +44,22 @@ def encoder_from_checkpoint(ckpt, logging=print):
 
 
 def save_feature_maps(model, params, loader, out_dir, num_files_folder=1_000,
-                      logging=print):
+                      logging=print, write_threads=8):
     encode = jax.jit(model.apply)
     file_index = 0
     folder_name = 0
     all_data = []
+
+    # Path assignment (and therefore the manifest) stays strictly serial;
+    # only the raw .npy writes fan out, overlapping disk IO with the next
+    # batch's device encode.
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=write_threads)
+    pending = []
+
+    def write_one(path, arr):
+        with open(path, "wb") as f:
+            np.save(f, arr, allow_pickle=False, fix_imports=False)
 
     logging("#" * 100)
     logging("Saving Feature Maps to disk...")
@@ -60,12 +71,14 @@ def save_feature_maps(model, params, loader, out_dir, num_files_folder=1_000,
             curr_folder = os.path.join(str(out_dir), str(folder_name))
             os.makedirs(curr_folder, exist_ok=True)
             fmap_path = os.path.join(curr_folder, str(file_index))
-            with open(fmap_path, "wb") as f:
-                np.save(f, fmap, allow_pickle=False, fix_imports=False)
+            pending.append(pool.submit(write_one, fmap_path, fmap))
             file_index += 1
             all_data.append({"fmap_path": fmap_path,
                              "image_path": image_path})
         logging(f"{index + 1:,} / {len(loader):,}")
+    for fut in pending:
+        fut.result()  # surface write errors; all files durable past here
+    pool.shutdown()
     logging("Finished saving feature maps.")
 
     manifest_path = os.path.join(str(out_dir), "all_dataset.json")
