@@ -474,6 +474,38 @@ def test_int8_prefix_rollout_matches_exact_closely(rng):
     assert agreement >= 0.5, f"agreement {agreement}"
 
 
+def test_int8_prefix_with_sliding_window_crossing(rng):
+    """quantized_prefix + sliding window: the crossing segment reads the
+    int8 shared caches through the quantization-aware decode_step_shared
+    path (no legacy dequantize detour) and hands off to the windowed
+    state; output stays shape/vocab-valid and tracks the exact engine."""
+    import jax
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+
+    cfg = _small_cfg(use_encoder=True, use_pos_cond=True, out_dim=17,
+                     num_dec_embedding=17)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    n, steps, window = 2, 16, 8
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+    init = jnp.full((n, 1), 16, jnp.int32)
+    settings = SamplerSettings(temperature=1.0, end_token=16,
+                               end_mode="mask", pos_offset=1)
+    key = jax.random.PRNGKey(9)
+
+    exact = np.asarray(DecodeEngine(model).rollout_generate(
+        params, init, steps, key, settings, num_beam=2, beam_width=4,
+        x_enc=x_enc, sliding_window=window))
+    q = np.asarray(DecodeEngine(model, quantized_prefix=True)
+                   .rollout_generate(params, init, steps, key, settings,
+                                     num_beam=2, beam_width=4, x_enc=x_enc,
+                                     sliding_window=window))
+    assert q.shape == exact.shape
+    assert q.min() >= 0 and q.max() < 17
+    agreement = float((q == exact).mean())
+    assert agreement >= 0.5, f"agreement {agreement}"
+
+
 def test_kv_quant_roundtrip_error_bound(rng):
     from qaig_tpu.ops.kv_quant import quantize_kv, dequantize_kv
     x = jnp.asarray(rng.standard_normal((4, 2, 8, 16)), jnp.float32)
