@@ -118,7 +118,7 @@ def test_cli_subprocess_pipeline(tmp_path):
         "--config-path", tf_cfg, "--out-dir", str(tf_out),
         "--batch-size", "4", "--test-num-sample", "2",
         "--checkpoint-step", "2", "--max-steps", "3",
-        "--num-model-shards", "2", "--skip-preview")
+        "--num-model-shards", "2", "--skip-preview", "--bf16")
     tf_ckpt = str(tf_out / "models_checkpoint" / "model_2.pt")
     assert os.path.exists(tf_ckpt)
 
@@ -129,6 +129,6 @@ def test_cli_subprocess_pipeline(tmp_path):
     gen_out = tmp_path / "gen"
     cli("generate_images.py", "--config-path", gen_cfg,
         "--decoder-path", ae_ckpt, "--num-images", "4",
-        "--out-dir", str(gen_out))
+        "--out-dir", str(gen_out), "--bf16")
     assert (gen_out / "images" / "recon_model_0.jpg").exists()
     assert (gen_out / "images" / "recon_model_Cond.jpg").exists()
