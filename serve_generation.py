@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Serve cascade generation over HTTP (load once, serve many).
+
+Extension beyond the reference (which only has the ``generate_images.py``
+batch CLI): wraps :class:`qaig_tpu.infer.pipeline.CascadePipeline` in
+:class:`qaig_tpu.serve.GenerationServer`.  Same staged ``--config-path``
+JSON as ``generate_images.py``.
+"""
+
+import argparse
+import pathlib
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Serve image generation.")
+    parser.add_argument("--device", choices=["auto", "cpu", "tpu", "cuda"],
+                        type=str, default="auto")
+    parser.add_argument("--decoder-path", required=True, type=pathlib.Path)
+    parser.add_argument("--config-path", required=True, type=pathlib.Path)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max-batch", type=int, default=64)
+    parser.add_argument("--bf16", action="store_true",
+                        help="Serve in bfloat16 (the benchmark precision).")
+    parser.add_argument("--warmup-batch", type=int, default=0,
+                        help="Compile the pipeline for this batch size "
+                             "before accepting traffic (0 = lazy).")
+    args = parser.parse_args()
+
+    from qaig_tpu.train import common
+    common.select_platform(args.device)
+
+    import jax.numpy as jnp
+    from qaig_tpu.infer.pipeline import CascadePipeline
+    from qaig_tpu.serve import GenerationServer
+
+    config = common.load_config(args.config_path)
+    pipe = CascadePipeline.from_config(
+        config, args.decoder_path,
+        dtype=jnp.bfloat16 if args.bf16 else None)
+    if args.warmup_batch > 0:
+        pipe.generate(args.warmup_batch, seed=0)
+        print(f"warmed up at batch {args.warmup_batch}")
+
+    server = GenerationServer(pipe, host=args.host, port=args.port,
+                              max_batch=args.max_batch)
+    print(f"serving on http://{args.host}:{server.port}")
+    server.start(background=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""HTTP serving layer: real requests against a live GenerationServer."""
+
+import base64
+import io
+import json
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qaig_tpu.models.codebook import Codebook
+from qaig_tpu.models.transformer import Transformer
+from qaig_tpu.train.transformer import (build_transformer_config,
+                                        checkpoint_dict)
+from qaig_tpu.train import autoencoder as ae_stage
+from qaig_tpu.train import codebook as cb_stage
+from qaig_tpu.train.autoencoder import build_autoencoder
+from qaig_tpu.utils import save_model
+
+
+@pytest.fixture
+def gen_config(tmp_path):
+    """Minimal base-model stage-0 config with real checkpoints on disk."""
+    cfg_dict = {
+        "model_lr": 1e-3, "image_channel": 3, "min_channel": 8,
+        "max_channel": 16, "num_layers": 1, "latent_channel": 4,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh"}
+    model, cfg = build_autoencoder(cfg_dict)
+    params = model.init(jax.random.PRNGKey(0))
+    save_model(ae_stage.checkpoint_dict(cfg, params, None), tmp_path,
+               "ae.pt", logging=lambda m: None)
+
+    cb = Codebook(patch_dim=(2, 2), image_dim=(4, 4), image_channel=4,
+                  num_embeddings=8, init_neighbour_range=4)
+    save_model(cb_stage.checkpoint_dict(cb, cb.init(jax.random.PRNGKey(1)),
+                                        0), tmp_path, "cb.pt",
+               logging=lambda m: None)
+
+    tcfg = build_transformer_config(
+        {"use_sliding_window": False, "num_dec_layers": 1,
+         "self_attn_heads": 2, "in_dim": 16, "hidden_dim": 32,
+         "hidden_activation": "silu"},
+        train_base_model=True, lr_num_embeddings=8, hr_num_embeddings=8)
+    tf = Transformer(tcfg)
+    tf_params = tf.init(jax.random.PRNGKey(2))
+    from qaig_tpu.train import common as train_common
+    tf_ckpt = checkpoint_dict(tcfg, {"model_lr": 1e-3}, True, None,
+                              tf_params, None)
+    tf_ckpt["model"] = train_common.model_state_dict(tf_params)
+    save_model(tf_ckpt, tmp_path, "tf.pt", logging=lambda m: None)
+
+    ckpt = tmp_path / "models_checkpoint"
+    return {
+        "0": {"model_path": str(ckpt / "tf.pt"),
+              "lr_codebook_path": str(ckpt / "cb.pt"),
+              "hr_codebook_path": str(ckpt / "cb.pt"),
+              "beam_width": 2, "num_beam": 2, "temperature": 1.0},
+    }, str(ckpt / "ae.pt")
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_generation_server_end_to_end(gen_config):
+    from qaig_tpu.infer.pipeline import CascadePipeline
+    from qaig_tpu.serve import GenerationServer
+
+    config, decoder_path = gen_config
+    pipe = CascadePipeline.from_config(config, decoder_path,
+                                       logging=lambda m: None,
+                                       dtype=jnp.bfloat16)
+    server = GenerationServer(pipe, port=0, max_batch=4)  # ephemeral port
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(base + "/healthz") as resp:
+            assert resp.status == 200
+            assert json.loads(resp.read()) == {"status": "ok"}
+
+        status, out = _post(base + "/generate",
+                            {"num_images": 2, "seed": 5,
+                             "return_images": True})
+        assert status == 200
+        tokens = np.asarray(out["tokens"])
+        assert tokens.shape == (2, 4)  # 4x4 latent / 2x2 patches
+        assert tokens.min() >= 0 and tokens.max() < 8
+        assert out["shape"] == [2, 3, 8, 8]
+        assert len(out["images_png_b64"]) == 2
+        from PIL import Image
+        img = Image.open(io.BytesIO(
+            base64.b64decode(out["images_png_b64"][0])))
+        assert img.size == (8, 8) and img.mode == "RGB"
+
+        # determinism contract: same seed -> same tokens
+        _, out2 = _post(base + "/generate", {"num_images": 2, "seed": 5})
+        assert out2["tokens"] == out["tokens"]
+
+        # validation: over-max batch is a 400, server keeps serving
+        try:
+            _post(base + "/generate", {"num_images": 99})
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        status, _ = _post(base + "/generate", {"num_images": 1})
+        assert status == 200
+    finally:
+        server.stop()
