@@ -361,14 +361,20 @@ def test_base_mode_multitoken_rollout_generate_runs(rng):
     assert tokens.min() >= lr_k and tokens.max() < lr_k + hr_k
 
 
-@pytest.mark.parametrize("use_encoder", [False, True])
+@pytest.mark.parametrize("use_encoder,window", [(False, 8), (True, 8),
+                                                (True, 9)])
 def test_shared_windowed_rollout_matches_legacy(rng, monkeypatch,
-                                                use_encoder):
+                                                use_encoder, window):
     """The shared windowed rollout path (window slots at N rows, only the
     per-rollout tail at N*B rows) must reproduce the legacy tile-everything
     path token-for-token at greedy sampling, through the crossing segment
     AND the steady-state sliding segments, with nontrivial beam selection
-    (logp accumulates real probabilities)."""
+    (logp accumulates real probabilities).
+
+    window=8: crossing segment has 3 cached + 1 slid step.  window=9:
+    the context hits the window exactly at a segment boundary, so the
+    crossing segment has ZERO cached steps (part A skipped, part B starts
+    at s=0 from the cached-kind state)."""
     from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
 
     monkeypatch.setattr(
@@ -381,7 +387,7 @@ def test_shared_windowed_rollout_matches_legacy(rng, monkeypatch,
     settings = SamplerSettings(temperature=1.0, end_token=11,
                                end_mode="mask", index_shift=0, pos_offset=1)
 
-    n, num_beam, bw, window, steps = 2, 3, 4, 8, 16
+    n, num_beam, bw, steps = 2, 3, 4, 16
     init = jnp.asarray(rng.integers(0, cfg.num_dec_embedding, (n, 1)))
     x_enc = (jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
              if use_encoder else None)
