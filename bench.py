@@ -216,7 +216,13 @@ def main():
                         help="run the cascade in float32 (the product "
                              "default / reference numerics) instead of the "
                              "bfloat16 serving precision")
+    parser.add_argument("--device", choices=["auto", "cpu", "tpu", "cuda"],
+                        type=str, default="auto",
+                        help="pin the jax platform (cpu forces the host "
+                             "backend even when an accelerator is visible)")
     args = parser.parse_args()
+    from qaig_tpu.train.common import select_platform
+    select_platform(args.device)
 
     backend = jax.default_backend()
     if backend == "cpu" and args.scale == "full":

@@ -132,3 +132,28 @@ def test_cli_subprocess_pipeline(tmp_path):
         "--out-dir", str(gen_out), "--bf16")
     assert (gen_out / "images" / "recon_model_0.jpg").exists()
     assert (gen_out / "images" / "recon_model_Cond.jpg").exists()
+
+
+def test_bench_smoke_multichip_sharded(tmp_path):
+    """bench.py --scale smoke on the 8-virtual-device CPU backend must
+    exercise the multi-chip batch-sharding path (n_chips == 8) and emit
+    the full machine-ledger JSON line the driver parses."""
+    import json
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    result = subprocess.run(
+        [sys.executable, "bench.py", "--device", "cpu", "--scale", "smoke",
+         "--iters", "1", "--batch", "4"],
+        capture_output=True, text=True, timeout=420, cwd=".", env=env)
+    assert result.returncode == 0, result.stderr[-2000:]
+    line = result.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "cascade_images_per_sec_per_chip"
+    assert out["n_chips"] == 8
+    assert out["mode"] == "beams"
+    assert out["value"] > 0
+    for field in ("mfu", "decode_tokens_per_sec_per_chip",
+                  "iter_time_mean_s", "vs_baseline"):
+        assert field in out, field
