@@ -44,11 +44,16 @@ class GenerationServer:
 
     ``max_batch`` bounds per-request work (memory and latency); the
     device lock serializes generate calls across handler threads.
+    ``batch_multiple`` > 1 enforces that ``num_images`` divides evenly
+    over a sharded-generation mesh (see ``serve_generation.py
+    --shard-batch``).
     """
 
-    def __init__(self, pipeline, host="127.0.0.1", port=8000, max_batch=64):
+    def __init__(self, pipeline, host="127.0.0.1", port=8000, max_batch=64,
+                 batch_multiple=1):
         self.pipeline = pipeline
         self.max_batch = max_batch
+        self.batch_multiple = max(1, batch_multiple)
         self._lock = threading.Lock()
         server = self
 
@@ -84,6 +89,12 @@ class GenerationServer:
                         self._reply(400, {
                             "error": f"num_images must be in "
                                      f"[1, {server.max_batch}]"})
+                        return
+                    if num % server.batch_multiple:
+                        self._reply(400, {
+                            "error": f"num_images must be a multiple of "
+                                     f"{server.batch_multiple} (sharded "
+                                     f"generation)"})
                         return
                     with server._lock:
                         images, tokens = server.pipeline.generate(

@@ -22,6 +22,11 @@ def main():
     parser.add_argument("--max-batch", type=int, default=64)
     parser.add_argument("--bf16", action="store_true",
                         help="Serve in bfloat16 (the benchmark precision).")
+    parser.add_argument("--shard-batch", action="store_true",
+                        help="Shard each request's image batch over all "
+                             "visible chips (params replicated).  Requests "
+                             "must then ask for a multiple of the chip "
+                             "count (400 otherwise).")
     parser.add_argument("--warmup-batch", type=int, default=0,
                         help="Compile the pipeline for this batch size "
                              "before accepting traffic (0 = lazy).")
@@ -30,20 +35,31 @@ def main():
     from qaig_tpu.train import common
     common.select_platform(args.device)
 
+    import jax
     import jax.numpy as jnp
     from qaig_tpu.infer.pipeline import CascadePipeline
     from qaig_tpu.serve import GenerationServer
 
+    mesh = None
+    batch_multiple = 1
+    if args.shard_batch:
+        from qaig_tpu.parallel.mesh import make_mesh
+        batch_multiple = len(jax.devices())
+        mesh = make_mesh(n_data=batch_multiple, n_model=1)
+        print(f"serving sharded over {batch_multiple} chips "
+              f"(num_images must be a multiple of {batch_multiple})")
+
     config = common.load_config(args.config_path)
     pipe = CascadePipeline.from_config(
-        config, args.decoder_path,
+        config, args.decoder_path, mesh=mesh,
         dtype=jnp.bfloat16 if args.bf16 else None)
     if args.warmup_batch > 0:
         pipe.generate(args.warmup_batch, seed=0)
         print(f"warmed up at batch {args.warmup_batch}")
 
     server = GenerationServer(pipe, host=args.host, port=args.port,
-                              max_batch=args.max_batch)
+                              max_batch=args.max_batch,
+                              batch_multiple=batch_multiple)
     print(f"serving on http://{args.host}:{server.port}")
     server.start(background=False)
 

@@ -114,3 +114,45 @@ def test_generation_server_end_to_end(gen_config):
         assert status == 200
     finally:
         server.stop()
+
+
+def test_generation_server_sharded_mesh(gen_config):
+    """--shard-batch semantics: pipeline on an 8-device data mesh, requests
+    must be chip-count multiples (400 otherwise), sharded output matches
+    the unsharded pipeline token-for-token at the same seed."""
+    from qaig_tpu.infer.pipeline import CascadePipeline
+    from qaig_tpu.parallel.mesh import make_mesh
+    from qaig_tpu.serve import GenerationServer
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8  # conftest virtual CPU mesh
+    config, decoder_path = gen_config
+
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    pipe = CascadePipeline.from_config(config, decoder_path,
+                                       logging=lambda m: None, mesh=mesh)
+    server = GenerationServer(pipe, port=0, max_batch=32,
+                              batch_multiple=n_dev)
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        status, out = _post(base + "/generate",
+                            {"num_images": 8, "seed": 11})
+        assert status == 200
+        tokens = np.asarray(out["tokens"])
+        assert tokens.shape == (8, 4)
+
+        # non-multiple -> 400
+        try:
+            _post(base + "/generate", {"num_images": 3})
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # sharded == unsharded at the same seed
+        plain = CascadePipeline.from_config(config, decoder_path,
+                                            logging=lambda m: None)
+        _, want = plain.generate(8, seed=11)
+        np.testing.assert_array_equal(tokens, np.asarray(want))
+    finally:
+        server.stop()
