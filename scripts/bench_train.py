@@ -41,6 +41,13 @@ def main(batch=64, use_flash=None, remat=False, bf16=False):
     params, opt_state, loss = step(params, opt_state, (lr_p, hr_p), fmap,
                                    key)
     _ = float(loss)
+
+    # XLA cost analysis of the whole jitted step (fwd + bwd + Adam)
+    try:
+        lowered = step.lower(params, opt_state, (lr_p, hr_p), fmap, key)
+        flops = lowered.compile().cost_analysis()["flops"]
+    except Exception:
+        flops = None
     n = 10
     t0 = time.time()
     acc = jnp.zeros(())
@@ -51,8 +58,14 @@ def main(batch=64, use_flash=None, remat=False, bf16=False):
     _ = float(acc)
     dt = (time.time() - t0) / n
     tag = f"flash={use_flash} remat={remat} batch={batch} bf16={bf16}"
+    extra = ""
+    if flops:
+        peak = 197e12  # v5e dense bf16 peak
+        achieved = flops / dt
+        extra = (f", {achieved / 1e12:.1f} TFLOP/s"
+                 f" (mfu {achieved / peak:.3f} vs bf16 peak)")
     print(f"{tag}: {dt * 1000:.1f} ms/step, "
-          f"{batch / dt:.1f} samples/sec")
+          f"{batch / dt:.1f} samples/sec{extra}")
 
 
 if __name__ == "__main__":
