@@ -168,6 +168,19 @@ def restore_model_state(model, params, state, logging=print, key_map=None):
     return tolerant_restore(params, state, logging=logging, key_map=key_map)
 
 
+def restore_opt_state(model, params, opt_state, ckpt_opt, logging=print):
+    """Restore a checkpoint's ``model_optimizer`` entry — either this
+    framework's optax state or a reference torch Adam state dict
+    (``/root/reference/train_autoencoder.py:139-150`` resume path).  Torch
+    states are mapped onto the fresh optax state via the export mapping
+    table (moments get the same layout transforms as the weights)."""
+    from qaig_tpu.utils import torch_optim
+    if torch_optim.is_torch_adam_state(ckpt_opt):
+        return torch_optim.import_adam_state(model, params, opt_state,
+                                             ckpt_opt, logging=logging)
+    return jax.tree_util.tree_map(jnp.asarray, ckpt_opt)
+
+
 def submodule_key_map(keep_prefix, drop_prefixes=()):
     """Extract one submodule from a composite flat checkpoint: strip
     ``keep_prefix`` from matching paths, drop ``drop_prefixes`` paths, pass
@@ -218,6 +231,28 @@ def decoder_from_checkpoint(ckpt, logging=print):
         model, params, ckpt["model"], logging=logging,
         key_map=submodule_key_map("fc_decoder.",
                                   drop_prefixes=("fc_encoder.",)))
+    return model, params, cfg
+
+
+def autoencoder_from_checkpoint(ckpt, logging=print):
+    """Rebuild the full Autoencoder from its (self-describing) checkpoint
+    dict (reference ``train_autoencoder.py:108-150`` resume pattern)."""
+    from qaig_tpu.models.conv_nets import Autoencoder, AutoencoderConfig
+    cfg = AutoencoderConfig(
+        num_layers=ckpt["num_layers"],
+        image_channel=ckpt["image_channel"],
+        min_channel=ckpt["min_channel"],
+        max_channel=ckpt["max_channel"],
+        latent_channel=ckpt["latent_channel"],
+        hidden_activation_type=ckpt["hidden_activation_type"],
+        use_final_enc_activation=ckpt["use_final_enc_activation"],
+        encoder_activation_type=ckpt["encoder_activation_type"],
+        use_final_dec_activation=ckpt["use_final_dec_activation"],
+        decoder_activation_type=ckpt["decoder_activation_type"])
+    model = Autoencoder(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params = restore_model_state(model, params, ckpt["model"],
+                                 logging=logging)
     return model, params, cfg
 
 

@@ -269,8 +269,9 @@ def run(args):
                                             logging=log.info)
         if args.get("load_optim") and ckpt.get("model_optimizer") is not None:
             try:
-                opt_state = jax.tree_util.tree_map(
-                    jnp.asarray, ckpt["model_optimizer"])
+                opt_state = common.restore_opt_state(
+                    model, params, opt_state, ckpt["model_optimizer"],
+                    logging=log.info)
             except Exception as e:
                 log.info(f"Could not restore optimizer state: {e}")
 
