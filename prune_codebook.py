@@ -18,9 +18,12 @@ def main():
     parser.add_argument("--prune-threshold", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--checkpoint-backend",
-                        choices=["pickle", "orbax"], default="pickle",
+                        choices=["pickle", "orbax", "orbax-async"],
+                        default="pickle",
                         help="pickle = reference-compatible single file; "
-                             "orbax = sharded directory (no host gather).")
+                             "orbax = sharded directory (no host gather); "
+                             "orbax-async = sharded + the disk commit "
+                             "overlaps training.")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)

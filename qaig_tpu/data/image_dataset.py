@@ -40,6 +40,13 @@ class ImageDataset:
         if c != 3:
             return None
         paths = [self.manifest[i]["image_fpath"] for i in indices]
+        # JPEG goes native only when the one-time decode-parity probe
+        # confirms bit-equality with cv2 (libjpeg vs libjpeg-turbo IDCT
+        # differences otherwise break the pixel-identical contract);
+        # PNG is lossless and always eligible.
+        if any(p.lower().endswith((".jpg", ".jpeg")) for p in paths) \
+                and not native.jpeg_parity_ok():
+            return None
         try:
             return native.load_image_batch(paths, h, w)
         except Exception:

@@ -34,7 +34,7 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
                  drop_remainder=True, prefetch=2, process_index=0,
-                 process_count=1):
+                 process_count=1, num_workers=4):
         if batch_size % process_count:
             raise ValueError(
                 f"global batch {batch_size} not divisible by "
@@ -46,6 +46,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        self.num_workers = num_workers
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -76,6 +77,20 @@ class DataLoader:
 
         load_batch = getattr(self.dataset, "load_batch", None)
 
+        # Per-item fallback decodes fan out over a small pool (the
+        # reference runs num_workers=4 worker processes;
+        # ``train_autoencoder.py:159``).  cv2/numpy release the GIL during
+        # decode, so threads scale on multi-core hosts.
+        from concurrent.futures import ThreadPoolExecutor
+        pool = (ThreadPoolExecutor(max_workers=self.num_workers)
+                if self.num_workers > 1 else None)
+
+        def fetch_items(idx_batch):
+            if pool is None:
+                return [self.dataset[int(i)] for i in idx_batch]
+            return list(pool.map(self.dataset.__getitem__,
+                                 [int(i) for i in idx_batch]))
+
         def worker():
             try:
                 for idx_batch in self._batch_indices():
@@ -84,8 +99,7 @@ class DataLoader:
                         if batch is not None:
                             q.put(batch)
                             continue
-                    samples = [self.dataset[int(i)] for i in idx_batch]
-                    q.put(_stack(samples))
+                    q.put(_stack(fetch_items(idx_batch)))
             except BaseException as e:  # surfaced on the consumer side
                 error.append(e)
             finally:
@@ -93,10 +107,14 @@ class DataLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    return
+                yield item
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)

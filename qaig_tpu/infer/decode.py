@@ -504,9 +504,16 @@ class DecodeEngine:
             return fn
 
         if crossing:
+            # init_len and gen0 are traced INTO the crossing program (the
+            # pos_full ``slots >= init_len`` offset split and c0 slicing),
+            # so they are part of its cache key — same-c0 prompts with
+            # different conditioning-grid lengths must not share a program.
+            # The steady trace depends on neither (positions come from the
+            # carried buffers), and keying it on gen0 would force a
+            # recompile per segment.
             shapes = (arrays["logits"].shape, arrays["ctx"].shape,
                       arrays["caches"][0]["k"].shape,
-                      str(arrays["caches"][0]["k"].dtype), c0)
+                      str(arrays["caches"][0]["k"].dtype), init_len, gen0)
         else:
             shapes = (arrays["tok_buf"].shape,)
         key = ("winroll_seg", kind, beam_width, num_beam, n_cached, settings,

@@ -3,9 +3,16 @@
 Builds ``libqaig_native.so`` from ``npy_loader.cpp`` on first import (g++,
 cached next to the source); falls back cleanly when no toolchain is
 available — ``AVAILABLE`` gates every fast path.
+
+Binaries are never committed (gitignored): every ``.so`` is compiled from
+the reviewed source on first use, and a sidecar ``.srchash`` records the
+sha256 of the source it was built from — a cached binary is reused only
+when that hash matches, so it can never silently drift from the source
+(mtime comparisons are meaningless after a fresh checkout).
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -23,19 +30,35 @@ _lib = None
 _img_lib = None
 
 
-def _build():
+def _src_hash(src):
+    with open(src, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _is_fresh(so, src):
+    """A cached binary is valid only if its sidecar records the hash of the
+    current source."""
+    try:
+        with open(so + ".srchash") as f:
+            return f.read().strip() == _src_hash(src)
+    except OSError:
+        return False
+
+
+def _compile(src, so, extra=()):
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           _SRC, "-o", _SO + ".tmp"]
+           src, *extra, "-o", so + ".tmp"]
     subprocess.run(cmd, check=True, capture_output=True)
-    os.replace(_SO + ".tmp", _SO)
+    os.replace(so + ".tmp", so)
+    with open(so + ".srchash", "w") as f:
+        f.write(_src_hash(src))
 
 
 def _load():
     global _lib, AVAILABLE
     try:
-        if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            _build()
+        if not os.path.exists(_SO) or not _is_fresh(_SO, _SRC):
+            _compile(_SRC, _SO)
         _lib = ctypes.CDLL(_SO)
         _lib.qaig_load_npy_batch.restype = ctypes.c_int
         _lib.qaig_load_npy_batch.argtypes = [
@@ -57,13 +80,8 @@ def _load_image_lib():
     never takes the .npy fast path down with it."""
     global _img_lib, IMAGE_AVAILABLE
     try:
-        if (not os.path.exists(_IMG_SO)
-                or os.path.getmtime(_IMG_SO) < os.path.getmtime(_IMG_SRC)):
-            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                   "-pthread", _IMG_SRC, "-ljpeg", "-lpng",
-                   "-o", _IMG_SO + ".tmp"]
-            subprocess.run(cmd, check=True, capture_output=True)
-            os.replace(_IMG_SO + ".tmp", _IMG_SO)
+        if not os.path.exists(_IMG_SO) or not _is_fresh(_IMG_SO, _IMG_SRC):
+            _compile(_IMG_SRC, _IMG_SO, extra=("-ljpeg", "-lpng"))
         _img_lib = ctypes.CDLL(_IMG_SO)
         _img_lib.qaig_load_image_batch.restype = ctypes.c_int
         _img_lib.qaig_load_image_batch.argtypes = [
@@ -114,6 +132,40 @@ def load_image_batch(paths, height, width, num_threads=4):
         raise IOError(
             f"native image batch load failed on {paths[rc - 100]}")
     return out
+
+
+_JPEG_PARITY = None
+
+
+def jpeg_parity_ok():
+    """Gate for the native JPEG branch: this library links the system
+    libjpeg while cv2 wheels bundle libjpeg-turbo, and IDCT/fancy-upsampling
+    differences between the two can yield ±1-level pixel deltas that would
+    silently break the documented pixel-identical-to-cv2 contract.  Decode
+    one synthesized probe JPEG through both paths (once, cached) and allow
+    native JPEG only on bit-equality.  PNG is lossless and unaffected."""
+    global _JPEG_PARITY
+    if _JPEG_PARITY is not None:
+        return _JPEG_PARITY
+    if not IMAGE_AVAILABLE:
+        _JPEG_PARITY = False
+        return _JPEG_PARITY
+    try:
+        import tempfile
+        import cv2
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "probe.jpg")
+            cv2.imwrite(path, img)
+            want = cv2.imread(path)
+            want = (want.astype(np.float32) - 127.5) / 127.5
+            want = np.ascontiguousarray(want.transpose(2, 0, 1))
+            got = load_image_batch([path], 32, 32)[0]
+        _JPEG_PARITY = bool(np.array_equal(got, want))
+    except Exception:
+        _JPEG_PARITY = False
+    return _JPEG_PARITY
 
 
 def normalize_images(batch_u8):

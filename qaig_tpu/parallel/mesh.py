@@ -8,10 +8,14 @@ optionally sharded over ``model`` (Megatron-style TP).  A 1x1 mesh reduces
 to the single-chip case, so every code path is mesh-aware.
 """
 
+import logging as _logging
+
 import numpy as np
 
 import jax
 from jax.sharding import Mesh
+
+_log = _logging.getLogger("qaig_tpu")
 
 
 def make_mesh(n_data=None, n_model=1, devices=None):
@@ -41,4 +45,11 @@ def make_mesh_for_batch(batch_size, n_model=1, devices=None):
     for d in range(1, cap + 1):
         if batch_size % d == 0:
             n_data = d
+    used = n_data * n_model
+    if used < len(devices):
+        _log.warning(
+            "Mesh %dx%d uses %d of %d devices (batch %d not divisible by "
+            "more); %d chips idle — pad the batch to a multiple of %d to "
+            "use them all.", n_data, n_model, used, len(devices),
+            batch_size, len(devices) - used, cap * n_model)
     return make_mesh(n_data=n_data, n_model=n_model, devices=devices)

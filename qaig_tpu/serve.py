@@ -3,9 +3,19 @@
 The reference has no serving story at all — inference is the
 ``generate_images.py`` batch CLI (reference ``generate_images.py:19-374``).
 This module adds a load-once/serve-many HTTP endpoint on top of the jitted
-pipeline: models compile on startup, every request reuses the compiled
-programs, and device access is serialized behind a lock (one TPU program
-runs at a time anyway; queueing in-process beats queueing in XLA).
+pipeline: models compile on startup and every request reuses the compiled
+programs.
+
+Concurrent requests COALESCE: a dispatcher thread drains every request
+waiting while the device is busy and runs them as ONE padded batch (batch
+sizes bucketed to ``batch_multiple * 2^k`` so the jitted pipeline compiles
+O(log max_batch) shapes, not one per arrival pattern), then splits the
+rows back per request.  N concurrent 1-image requests cost ~one cascade
+dispatch instead of N full latencies.  Determinism note: a request's
+``seed`` fully determines its result only for a given coalesced batch
+composition (solo requests reproduce the batch CLI exactly); the decode
+draws one categorical key per step across the merged batch, so co-batched
+neighbours shift the per-row sampling noise.
 
 Endpoints
 ---------
@@ -39,14 +49,102 @@ def _render_png(image_chw):
     return buf.getvalue()
 
 
+class RequestBatcher:
+    """Coalesces concurrent generate requests into single device dispatches.
+
+    Handler threads :meth:`submit` and block; one dispatcher thread drains
+    everything pending (up to ``max_batch`` rows), pads the merged count up
+    to a ``batch_multiple * 2^k`` bucket, runs ONE ``pipeline.generate``,
+    and hands each caller its slice.  The batch seed folds every request's
+    seed together so identical compositions reproduce.
+    """
+
+    def __init__(self, pipeline, max_batch=64, batch_multiple=1):
+        self.pipeline = pipeline
+        self.max_batch = max_batch
+        self.batch_multiple = max(1, batch_multiple)
+        self._cv = threading.Condition()
+        self._pending = []
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _bucket(self, total):
+        cap = self.batch_multiple
+        while cap < total:
+            cap *= 2
+        if cap > self.max_batch:
+            # stay near the memory bound: smallest multiple that fits
+            cap = -(-total // self.batch_multiple) * self.batch_multiple
+        return cap
+
+    def submit(self, num, seed):
+        """Returns (images, tokens) for ``num`` rows; blocks until served."""
+        item = {"num": num, "seed": seed, "event": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("server is shutting down")
+            self._pending.append(item)
+            self._cv.notify()
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._pending and not self._stop:
+                    self._cv.wait()
+                if self._stop and not self._pending:
+                    return
+                batch, total = [], 0
+                while self._pending and \
+                        total + self._pending[0]["num"] <= self.max_batch:
+                    req = self._pending.pop(0)
+                    batch.append(req)
+                    total += req["num"]
+                if not batch:  # head alone exceeds max_batch (validated
+                    req = self._pending.pop(0)  # upstream; belt and braces)
+                    batch, total = [req], req["num"]
+            padded = self._bucket(total)
+            if len(batch) == 1 and padded == batch[0]["num"]:
+                seed = batch[0]["seed"]  # solo = exact batch-CLI semantics
+            else:
+                seed = 0
+                for req in batch:
+                    seed = (seed * 1000003 + req["num"] * 31
+                            + req["seed"]) % (2 ** 31 - 1)
+            try:
+                images, tokens = self.pipeline.generate(padded, seed=seed)
+                images, tokens = np.asarray(images), np.asarray(tokens)
+                offset = 0
+                for req in batch:
+                    req["result"] = (images[offset:offset + req["num"]],
+                                     tokens[offset:offset + req["num"]])
+                    offset += req["num"]
+            except Exception as e:
+                for req in batch:
+                    req["error"] = e
+            for req in batch:
+                req["event"].set()
+
+    def stop(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=30)
+
+
 class GenerationServer:
     """Wraps a :class:`~qaig_tpu.infer.pipeline.CascadePipeline`.
 
-    ``max_batch`` bounds per-request work (memory and latency); the
-    device lock serializes generate calls across handler threads.
-    ``batch_multiple`` > 1 enforces that ``num_images`` divides evenly
-    over a sharded-generation mesh (see ``serve_generation.py
-    --shard-batch``).
+    ``max_batch`` bounds per-request work (memory and latency); concurrent
+    requests coalesce through a :class:`RequestBatcher` into single padded
+    device dispatches.  ``batch_multiple`` > 1 enforces that ``num_images``
+    divides evenly over a sharded-generation mesh (see
+    ``serve_generation.py --shard-batch``).
     """
 
     def __init__(self, pipeline, host="127.0.0.1", port=8000, max_batch=64,
@@ -54,7 +152,8 @@ class GenerationServer:
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.batch_multiple = max(1, batch_multiple)
-        self._lock = threading.Lock()
+        self.batcher = RequestBatcher(pipeline, max_batch=max_batch,
+                                      batch_multiple=self.batch_multiple)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -90,15 +189,10 @@ class GenerationServer:
                             "error": f"num_images must be in "
                                      f"[1, {server.max_batch}]"})
                         return
-                    if num % server.batch_multiple:
-                        self._reply(400, {
-                            "error": f"num_images must be a multiple of "
-                                     f"{server.batch_multiple} (sharded "
-                                     f"generation)"})
-                        return
-                    with server._lock:
-                        images, tokens = server.pipeline.generate(
-                            num, seed=seed)
+                    # no per-request batch_multiple constraint: the batcher
+                    # pads the MERGED batch to a multiple, so any num rows
+                    # shard cleanly over the generation mesh
+                    images, tokens = server.batcher.submit(num, seed)
                     payload = {
                         "tokens": np.asarray(tokens).tolist(),
                         "shape": list(np.asarray(images).shape),
@@ -131,3 +225,4 @@ class GenerationServer:
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        self.batcher.stop()

@@ -21,6 +21,7 @@ from qaig_tpu.parallel import batch_sharding, shard_tree
 from qaig_tpu.parallel.mesh import make_mesh_for_batch
 from qaig_tpu.train import common, optim
 from qaig_tpu.utils import save_model, load_model, save_images
+from qaig_tpu.utils.checkpoint import wait_pending_saves
 from qaig_tpu.utils.logging_utils import setup_logging
 
 PROJECT_NAME = "Codebook"
@@ -201,4 +202,5 @@ def run(args):
             break
     profiler.close()
     metrics.close()
+    wait_pending_saves(logging=log.info)  # join any orbax-async write
     return model, params

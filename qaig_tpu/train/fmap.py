@@ -52,14 +52,21 @@ def save_feature_maps(model, params, loader, out_dir, num_files_folder=1_000,
 
     # Path assignment (and therefore the manifest) stays strictly serial;
     # only the raw .npy writes fan out, overlapping disk IO with the next
-    # batch's device encode.
+    # batch's device encode.  In-flight writes are bounded by a semaphore so
+    # a lagging disk applies backpressure instead of accumulating every
+    # outstanding latent in memory.
+    import threading
     from concurrent.futures import ThreadPoolExecutor
     pool = ThreadPoolExecutor(max_workers=write_threads)
+    in_flight = threading.BoundedSemaphore(4 * write_threads)
     pending = []
 
     def write_one(path, arr):
-        with open(path, "wb") as f:
-            np.save(f, arr, allow_pickle=False, fix_imports=False)
+        try:
+            with open(path, "wb") as f:
+                np.save(f, arr, allow_pickle=False, fix_imports=False)
+        finally:
+            in_flight.release()
 
     logging("#" * 100)
     logging("Saving Feature Maps to disk...")
@@ -71,6 +78,7 @@ def save_feature_maps(model, params, loader, out_dir, num_files_folder=1_000,
             curr_folder = os.path.join(str(out_dir), str(folder_name))
             os.makedirs(curr_folder, exist_ok=True)
             fmap_path = os.path.join(curr_folder, str(file_index))
+            in_flight.acquire()
             pending.append(pool.submit(write_one, fmap_path, fmap))
             file_index += 1
             all_data.append({"fmap_path": fmap_path,

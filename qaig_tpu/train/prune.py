@@ -17,6 +17,7 @@ from qaig_tpu.models.codebook import Codebook
 from qaig_tpu.train import common
 from qaig_tpu.train.codebook import checkpoint_dict
 from qaig_tpu.utils import save_model, load_model
+from qaig_tpu.utils.checkpoint import wait_pending_saves
 from qaig_tpu.utils.logging_utils import setup_logging
 
 PROJECT_NAME = "Prune Codebook"
@@ -96,4 +97,5 @@ def run(args):
         logging=log.info)
     log.info("Successfully saved codebook." if save_status
              else "Error occured saving codebook.")
+    wait_pending_saves(logging=log.info)  # join any orbax-async write
     return new_model, new_params

@@ -33,6 +33,7 @@ from qaig_tpu.parallel.sharding import (shard_opt_state,
                                         transformer_param_spec)
 from qaig_tpu.train import common, optim
 from qaig_tpu.utils import save_model, load_model, save_images
+from qaig_tpu.utils.checkpoint import wait_pending_saves
 from qaig_tpu.utils.logging_utils import setup_logging
 
 PROJECT_NAME = "Quantized Transformer"
@@ -434,4 +435,5 @@ def run(args):
             break
     profiler.close()
     metrics.close()
+    wait_pending_saves(logging=log.info)  # join any orbax-async write
     return model, params

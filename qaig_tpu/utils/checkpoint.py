@@ -40,16 +40,45 @@ def _to_numpy(obj):
     return obj
 
 
+_pending_async_saves = []
+
+
+def wait_pending_saves(logging=print):
+    """Block until every outstanding ``orbax-async`` checkpoint write has
+    committed to disk.  Called automatically before the next async save (at
+    most one write is ever in flight) and by the training CLIs at exit."""
+    ok = True
+    while _pending_async_saves:
+        ckptr = _pending_async_saves.pop()
+        try:
+            ckptr.wait_until_finished()
+        except Exception as e:
+            logging(f"Async checkpoint save failed: {e}.")
+            ok = False
+    return ok
+
+
 def save_model(model_dict, dest_path, file_name, logging=print,
                backend="pickle"):
     """Atomically pickle ``model_dict`` to <dest>/models_checkpoint/<name>.
 
     ``backend="orbax"`` writes a sharded ``<name>.orbax/`` directory
     instead (no host gather for mesh-sharded params; see
-    :func:`save_model_orbax`)."""
+    :func:`save_model_orbax`).  ``backend="orbax-async"`` additionally
+    overlaps the write with training: the device->host snapshot happens
+    before returning, the disk commit runs in the background, and the next
+    save (or :func:`wait_pending_saves` at exit) joins it."""
     if backend == "orbax":
         return bool(save_model_orbax(model_dict, dest_path, file_name,
                                      logging=logging))
+    if backend == "orbax-async":
+        wait_pending_saves(logging=logging)  # at most one write in flight
+        ckptr = save_model_orbax(model_dict, dest_path, file_name,
+                                 logging=logging, async_save=True)
+        if ckptr is False:
+            return False
+        _pending_async_saves.append(ckptr)
+        return True
     try:
         folder = os.path.join(str(dest_path), "models_checkpoint")
         os.makedirs(folder, exist_ok=True)

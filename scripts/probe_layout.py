@@ -79,7 +79,7 @@ def attention_ab():
     block_index = jnp.asarray(5)
 
     @jax.jit
-    def baseline(q, i):
+    def baseline(q, i, ks, vs, kb, vb):
         x = q * (1 + i)
         for l in range(layers):
             x = shared_prefix_attention(x, ks[l], vs[l], kb, vb,
@@ -123,7 +123,7 @@ def attention_ab():
         return merge_heads(out).astype(q.dtype)
 
     @jax.jit
-    def transposed(q, i):
+    def transposed(q, i, kst, vst, kb, vb):
         x = q * (1 + i)
         for l in range(layers):
             x = shared_prefix_attention_t(x, kst[l], vst[l], kb, vb,
@@ -131,19 +131,22 @@ def attention_ab():
         return x
 
     # correctness first
-    want = baseline(q0, jnp.asarray(0, jnp.bfloat16))
-    got = transposed(q0, jnp.asarray(0, jnp.bfloat16))
+    want = baseline(q0, jnp.asarray(0, jnp.bfloat16), ks, vs, kb, vb)
+    got = transposed(q0, jnp.asarray(0, jnp.bfloat16), kst, vst, kb, vb)
     err = float(jnp.max(jnp.abs(want.astype(jnp.float32)
                                 - got.astype(jnp.float32))))
     print(f"transposed-vs-baseline max abs err: {err:.4f}")
 
-    timed(lambda i: baseline(q0, jnp.asarray(i, jnp.bfloat16)),
+    timed(lambda i: baseline(q0, jnp.asarray(i, jnp.bfloat16),
+                             ks, vs, kb, vb),
           "7-layer shared_prefix_attention (N,H,S,dh) baseline")
-    timed(lambda i: transposed(q0, jnp.asarray(i, jnp.bfloat16)),
+    timed(lambda i: transposed(q0, jnp.asarray(i, jnp.bfloat16),
+                               kst, vst, kb, vb),
           "7-layer shared_prefix_attention (N,H,dh,S) transposed")
 
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
-    stream_probe()
+    if "attn" not in sys.argv:
+        stream_probe()
     attention_ab()

@@ -107,3 +107,37 @@ def test_native_image_batch_dim_mismatch_raises(tmp_path, rng):
     cv2.imwrite(p, rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))
     with pytest.raises(IOError):
         native.load_image_batch([p], 8, 8)
+
+
+@pytest.mark.skipif(not native.IMAGE_AVAILABLE,
+                    reason="native image library unavailable")
+def test_jpeg_parity_probe_gates_native_path(tmp_path, rng, monkeypatch):
+    """JPEG batches go native only when the libjpeg-vs-cv2 probe passes
+    bit-exactly; PNG (lossless) is always eligible."""
+    import cv2
+    from qaig_tpu.data.manifest import write_manifest
+    from qaig_tpu.data.image_dataset import ImageDataset
+
+    assert isinstance(native.jpeg_parity_ok(), bool)
+
+    h, w = 8, 8
+    paths = []
+    for ext in ("jpg", "png"):
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        p = str(tmp_path / f"x.{ext}")
+        cv2.imwrite(p, arr)
+        paths.append(p)
+    manifest = str(tmp_path / "dataset.json")
+    write_manifest(manifest, [{"image_fpath": p, "labels": []}
+                              for p in paths])
+    ds = ImageDataset(manifest)
+
+    monkeypatch.setattr(native, "jpeg_parity_ok", lambda: False)
+    assert ds.load_batch([0, 1]) is None      # jpeg present -> fall back
+    assert ds.load_batch([1]) is not None     # png-only stays native
+
+    monkeypatch.setattr(native, "jpeg_parity_ok", lambda: True)
+    got = ds.load_batch([0, 1])
+    assert got is not None
+    want = np.stack([ds[0], ds[1]])
+    np.testing.assert_array_equal(got, want)

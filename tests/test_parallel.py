@@ -128,3 +128,21 @@ def test_sharded_batch_decode_matches_single_device(rng):
     # the decoded batch must actually live sharded on the mesh
     assert len(got.sharding.device_set) == 8
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_mesh_idle_device_warning(caplog):
+    """make_mesh_for_batch must say so when indivisible batches idle chips
+    (it used to silently run 25-image jobs on 5 of 8 devices)."""
+    import logging
+    from qaig_tpu.parallel.mesh import make_mesh_for_batch
+
+    with caplog.at_level(logging.WARNING, logger="qaig_tpu"):
+        mesh = make_mesh_for_batch(3)  # 3 of 8 virtual devices
+    assert mesh.shape["data"] == 3
+    assert any("idle" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="qaig_tpu"):
+        mesh = make_mesh_for_batch(16)  # all 8 devices, no warning
+    assert mesh.shape["data"] == 8
+    assert not caplog.records

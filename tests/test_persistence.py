@@ -278,3 +278,51 @@ def test_save_model_orbax_backend_roundtrip(tmp_path):
     assert got["hidden_activation_type"] == "silu"
     np.testing.assert_array_equal(np.asarray(got["model"]["layers.0.w"]),
                                   np.arange(6.0).reshape(2, 3))
+
+
+def test_orbax_async_backend_cli(tmp_path):
+    """--checkpoint-backend orbax-async end-to-end: saves are issued
+    asynchronously during training (at most one write in flight) and the
+    checkpoint is complete and loadable after the CLI's exit-time
+    wait_pending_saves()."""
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
+    import json
+    import cv2
+    from qaig_tpu.data.manifest import write_manifest
+    from qaig_tpu.train import autoencoder
+    from qaig_tpu.utils.checkpoint import (load_model,
+                                           _pending_async_saves)
+
+    rng2 = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    for i in range(8):
+        p = str(img_dir / f"{i}.png")
+        cv2.imwrite(p, rng2.integers(0, 255, (8, 8, 3), dtype=np.uint8))
+        rows.append({"image_fpath": p, "labels": []})
+    write_manifest(str(tmp_path / "dataset.json"), rows)
+    cfg = {"model_lr": 1e-3, "image_channel": 3, "min_channel": 4,
+           "max_channel": 8, "num_layers": 1, "latent_channel": 2,
+           "hidden_activation_type": "silu",
+           "use_final_enc_activation": True,
+           "encoder_activation_type": "silu",
+           "use_final_dec_activation": True,
+           "decoder_activation_type": "tanh"}
+    with open(tmp_path / "ae.json", "w") as f:
+        json.dump(cfg, f)
+
+    autoencoder.run({
+        "device": "cpu",
+        "dataset_path": str(tmp_path / "dataset.json"),
+        "config_path": str(tmp_path / "ae.json"),
+        "out_dir": str(tmp_path / "out"),
+        "batch_size": 4, "checkpoint_step": 2, "max_steps": 3,
+        "checkpoint_backend": "orbax-async",
+    })
+    assert not _pending_async_saves  # drained at exit
+    for step in (0, 2):
+        ok, ckpt = load_model(
+            tmp_path / "out" / "models_checkpoint" / f"model_{step}.pt.orbax")
+        assert ok and "model" in ckpt and ckpt["num_layers"] == 1

@@ -117,9 +117,9 @@ def test_generation_server_end_to_end(gen_config):
 
 
 def test_generation_server_sharded_mesh(gen_config):
-    """--shard-batch semantics: pipeline on an 8-device data mesh, requests
-    must be chip-count multiples (400 otherwise), sharded output matches
-    the unsharded pipeline token-for-token at the same seed."""
+    """--shard-batch semantics: pipeline on an 8-device data mesh; sharded
+    output matches the unsharded pipeline token-for-token at the same seed,
+    and non-multiple requests pad to the mesh multiple transparently."""
     from qaig_tpu.infer.pipeline import CascadePipeline
     from qaig_tpu.parallel.mesh import make_mesh
     from qaig_tpu.serve import GenerationServer
@@ -142,12 +142,11 @@ def test_generation_server_sharded_mesh(gen_config):
         tokens = np.asarray(out["tokens"])
         assert tokens.shape == (8, 4)
 
-        # non-multiple -> 400
-        try:
-            _post(base + "/generate", {"num_images": 3})
-            assert False, "expected HTTPError"
-        except urllib.error.HTTPError as e:
-            assert e.code == 400
+        # non-multiple requests succeed: the batcher pads the merged batch
+        # to the mesh multiple and returns only the requested rows
+        status, out3 = _post(base + "/generate", {"num_images": 3})
+        assert status == 200
+        assert np.asarray(out3["tokens"]).shape == (3, 4)
 
         # sharded == unsharded at the same seed
         plain = CascadePipeline.from_config(config, decoder_path,
@@ -156,3 +155,63 @@ def test_generation_server_sharded_mesh(gen_config):
         np.testing.assert_array_equal(tokens, np.asarray(want))
     finally:
         server.stop()
+
+
+def test_request_batcher_coalesces_concurrent_requests():
+    """8 parallel 1-image requests merge into a couple of device dispatches
+    (not 8 serialized full-latency calls) and every caller gets its rows."""
+    import threading
+    import time
+
+    from qaig_tpu.serve import RequestBatcher
+
+    calls = []
+
+    class FakePipe:
+        def generate(self, num, seed=0):
+            calls.append(num)
+            time.sleep(0.15)  # one "device dispatch" of fixed latency
+            return (np.zeros((num, 3, 4, 4), np.float32),
+                    np.zeros((num, 2), np.int32))
+
+    batcher = RequestBatcher(FakePipe(), max_batch=16, batch_multiple=1)
+    results = [None] * 8
+
+    def worker(i):
+        results[i] = batcher.submit(1, seed=i)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.time() - t0
+    batcher.stop()
+
+    for images, tokens in results:
+        assert images.shape == (1, 3, 4, 4) and tokens.shape == (1, 2)
+    # a per-request lock would make 8 sequential calls (1.2 s); coalescing
+    # needs at most 3 dispatches (first arrival + merged rest)
+    assert len(calls) <= 3, calls
+    assert elapsed < 0.15 * 8 * 0.5, f"no >2x win: {elapsed:.2f}s, {calls}"
+
+
+def test_request_batcher_pads_to_multiple():
+    """Merged batches pad up to batch_multiple * 2^k buckets; callers get
+    exactly their rows back."""
+    from qaig_tpu.serve import RequestBatcher
+
+    calls = []
+
+    class FakePipe:
+        def generate(self, num, seed=0):
+            calls.append(num)
+            return (np.zeros((num, 3, 2, 2), np.float32),
+                    np.zeros((num, 2), np.int32))
+
+    batcher = RequestBatcher(FakePipe(), max_batch=16, batch_multiple=4)
+    images, tokens = batcher.submit(3, seed=0)
+    batcher.stop()
+    assert images.shape[0] == 3 and tokens.shape[0] == 3
+    assert calls == [4]  # padded to the sharding multiple

@@ -43,9 +43,12 @@ def main():
                         help="Tensor-parallel shards over the mesh's model "
                              "axis (1 = pure data parallel).")
     parser.add_argument("--checkpoint-backend",
-                        choices=["pickle", "orbax"], default="pickle",
+                        choices=["pickle", "orbax", "orbax-async"],
+                        default="pickle",
                         help="pickle = reference-compatible single file; "
-                             "orbax = sharded directory (no host gather).")
+                             "orbax = sharded directory (no host gather); "
+                             "orbax-async = sharded + the disk commit "
+                             "overlaps training.")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--coordinator-address", default=None, type=str,
