@@ -293,7 +293,7 @@ class DecodeEngine:
         model = self.model
         use_pos = model.cfg.use_pos_cond
         has_ctx = "ctx" in arrays
-        cap = arrays["caches"][0]["k"].shape[2]
+        cap = arrays["caches"][0]["k"].shape[-1]
         read_len = cap if prefix_len is None \
             else min(cap, -(-prefix_len // 32) * 32)
 
@@ -307,8 +307,10 @@ class DecodeEngine:
                     if model.cfg.use_encoder else None
                 block_caches = model.init_block_cache(
                     nb, beam_width, params["dec_embedding"]["w"].dtype)
+                # slot axis is the LAST dim for both the transposed caches
+                # (N, H, dh, S) and their int8 scales (N, H, S)
                 read_caches = [
-                    {key: value[:, :, :read_len] for key, value in c.items()}
+                    {key: value[..., :read_len] for key, value in c.items()}
                     for c in arrays["caches"]]
 
                 logits0 = _tile({"x": arrays["logits"]}, num_beam)["x"]
@@ -422,10 +424,10 @@ class DecodeEngine:
                         nb, n_cached, params["dec_embedding"]["w"].dtype)
                     logits0 = _tile({"x": arrays["logits"]}, num_beam)["x"]
                     index0 = arrays["index"]
-                    cap = arrays["caches"][0]["k"].shape[2]
+                    cap = arrays["caches"][0]["k"].shape[-1]
                     read_len = min(cap, -(-c0 // 32) * 32)
                     read_caches = [
-                        {key: value[:, :, :read_len]
+                        {key: value[..., :read_len]
                          for key, value in c.items()}
                         for c in arrays["caches"]]
 
@@ -586,8 +588,10 @@ class DecodeEngine:
 
     def _grow_cache(self, arrays, new_len):
         def pad(c):
-            cur = c.shape[2]
-            return jnp.pad(c, ((0, 0), (0, 0), (0, new_len - cur), (0, 0)))
+            # slot axis is last for both caches (N,H,dh,S) and scales
+            cur = c.shape[-1]
+            return jnp.pad(
+                c, [(0, 0)] * (c.ndim - 1) + [(0, new_len - cur)])
         caches = [{key: pad(value) for key, value in c.items()}
                   for c in arrays["caches"]]
         return dict(arrays, caches=caches)

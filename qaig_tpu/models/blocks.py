@@ -194,14 +194,16 @@ def self_attn_block_step(params, cfg: BlockConfig, x, cond, cache, index,
     else:
         q = project_q(params["attn"], x, cfg.act)
         k_new, v_new = project_kv(params["attn"], x, cfg.act)
-    # caches are stored head-split (N, H, S, dh): the per-step write is a
-    # (N, H, 1, dh) slice and attention reads the cache with no transpose.
+    # caches are stored head-split AND transposed (N, H, dh, S): the
+    # per-step write is a (N, H, dh, 1) column and attention streams dense
+    # lane tiles (see ops.attention.transpose_heads_t).
+    from qaig_tpu.ops.attention import transpose_heads_t
     heads = cfg.self_attn_heads
     k_cache = jax.lax.dynamic_update_slice_in_dim(
-        cache["k"], split_heads(k_new, heads), index, 2)
+        cache["k"], transpose_heads_t(split_heads(k_new, heads)), index, 3)
     v_cache = jax.lax.dynamic_update_slice_in_dim(
-        cache["v"], split_heads(v_new, heads), index, 2)
-    s_max = k_cache.shape[2]
+        cache["v"], transpose_heads_t(split_heads(v_new, heads)), index, 3)
+    s_max = k_cache.shape[3]
     kv_mask = (jnp.arange(s_max) <= index)[None, :]
     kv_mask = jnp.broadcast_to(kv_mask, (x.shape[0], s_max))
     out = decode_attention_presplit(q, k_cache, v_cache, kv_mask)
@@ -309,9 +311,12 @@ def self_attn_block_prefill(params, cfg: BlockConfig, x, cond, cache):
     x = block_norm(params["norm"], cfg, x, cond)
     q = project_q(params["attn"], x, cfg.act)
     k, v = project_kv(params["attn"], x, cfg.act)
+    from qaig_tpu.ops.attention import transpose_heads_t
     heads = cfg.self_attn_heads
-    k_cache = cache["k"].at[:, :, :p].set(split_heads(k, heads))
-    v_cache = cache["v"].at[:, :, :p].set(split_heads(v, heads))
+    k_cache = cache["k"].at[:, :, :, :p].set(
+        transpose_heads_t(split_heads(k, heads)))
+    v_cache = cache["v"].at[:, :, :, :p].set(
+        transpose_heads_t(split_heads(v, heads)))
     out = dot_product_attention(q, k, v, cfg.self_attn_heads, causal=True)
     out = residual(params["res"], out, x0, cond, cfg.act)
     return out, {"k": k_cache, "v": v_cache}

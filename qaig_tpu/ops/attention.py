@@ -108,6 +108,18 @@ def dot_product_attention(q, k, v, heads, causal=False, kv_mask=None,
     return merge_heads(out).astype(q.dtype)
 
 
+def transpose_heads_t(x_split):
+    """Head-split (N, H, S, dh) -> cache-layout (N, H, dh, S).
+
+    Decode caches are STORED with S on the minor (lane) axis: a dh=64 minor
+    dim is padded to 128 lanes in TPU HBM, so the (N, H, S, dh) layout
+    streams ~2x the logical bytes — measured 5.8 vs 1.1 ms per 7-layer
+    decode step at bench shapes (scripts/probe_layout.py).  The transposed
+    layout is also the MXU-native (contracting, free) shape for the score
+    dot."""
+    return x_split.transpose(0, 1, 3, 2)
+
+
 def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
                             index0, block_index, k_scale=None, v_scale=None):
     """Beam-rollout decode attention over a SHARED prefix cache plus a
@@ -121,23 +133,21 @@ def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
     Args:
       q: (N*B, 1, D) new-token queries (B rollouts per element, grouped
         [n0b0, n0b1, ..., n1b0, ...]).
-      k_shared, v_shared: (N, H, S, dh) shared prefix (valid slots <
-        ``index0``).
+      k_shared, v_shared: (N, H, dh, S) TRANSPOSED shared prefix (valid
+        slots < ``index0``); S on the lane axis streams unpadded (see
+        :func:`transpose_heads_t`).
       k_block, v_block: (N*B, H, bw, dh) per-rollout segment K/V (valid
         slots <= ``block_index``).
       index0: scalar — shared prefix length.
       block_index: scalar — current position within the segment.
-      k_scale, v_scale: optional (N, H, S, 1) per-slot scales when the
-        shared prefix is stored int8 (``ops/kv_quant.py``).
+      k_scale, v_scale: optional (N, H, S) per-slot scales when the shared
+        prefix is stored int8 (``ops/kv_quant.py``): scales fold into the
+        f32 scores / probabilities, so no dequantized cache materializes.
 
     Returns (N*B, 1, D).
     """
-    if k_scale is not None:
-        from qaig_tpu.ops.kv_quant import dequantize_kv
-        k_shared = dequantize_kv(k_shared, k_scale, q.dtype)
-        v_shared = dequantize_kv(v_shared, v_scale, q.dtype)
     nb, _, d = q.shape
-    n, heads, s, dh = k_shared.shape
+    n, heads, dh, s = k_shared.shape
     b = nb // n
     bw = k_block.shape[2]
     scale = 1.0 / math.sqrt(dh)
@@ -145,8 +155,13 @@ def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
     qh = split_heads(q, heads)                      # (N*B, H, 1, dh)
     qg = qh.reshape(n, b, heads, 1, dh)
 
-    s_shared = jnp.einsum("nbhqd,nhkd->nbhqk", qg, k_shared,
+    k_op = k_shared.astype(q.dtype) if k_shared.dtype == jnp.int8 \
+        else k_shared
+    s_shared = jnp.einsum("nbhqd,nhdk->nbhqk", qg, k_op,
                           preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        s_shared = s_shared * k_scale[:, None, :, None, :].astype(
+            jnp.float32)
     s_shared = s_shared.reshape(nb, heads, 1, s)
     valid_shared = (jnp.arange(s) < index0)[None, None, None, :]
     s_shared = jnp.where(valid_shared, s_shared, NEG_INF)
@@ -159,9 +174,14 @@ def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
     scores = jnp.concatenate([s_shared, s_block], axis=-1)
     weights = jax.nn.softmax(scores, axis=-1)
     w_shared = weights[..., :s].reshape(n, b, heads, 1, s)
+    if v_scale is not None:
+        w_shared = w_shared * v_scale[:, None, :, None, :].astype(
+            w_shared.dtype)
     w_block = weights[..., s:]
 
-    out = jnp.einsum("nbhqk,nhkd->nbhqd", w_shared, v_shared,
+    v_op = v_shared.astype(q.dtype) if v_shared.dtype == jnp.int8 \
+        else v_shared
+    out = jnp.einsum("nbhqk,nhdk->nbhqd", w_shared, v_op,
                      preferred_element_type=jnp.float32).reshape(
                          nb, heads, 1, dh)
     out = out + jnp.einsum("nhqk,nhkd->nhqd", w_block, v_block,
@@ -170,18 +190,19 @@ def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
 
 
 def shared_cross_attention(q, k_shared, v_shared):
-    """Cross-attention where K/V ((N, H, S, dh), all slots valid) are shared
-    across B rollouts; q is (N*B, T, D) (T >= 1 query slots)."""
+    """Cross-attention where K/V ((N, H, dh, S) transposed, all slots
+    valid) are shared across B rollouts; q is (N*B, T, D) (T >= 1 query
+    slots)."""
     nb, t, d = q.shape
-    n, heads, s, dh = k_shared.shape
+    n, heads, dh, s = k_shared.shape
     b = nb // n
     scale = 1.0 / math.sqrt(dh)
 
     qg = split_heads(q, heads).reshape(n, b, heads, t, dh)
-    scores = jnp.einsum("nbhqd,nhkd->nbhqk", qg, k_shared,
+    scores = jnp.einsum("nbhqd,nhdk->nbhqk", qg, k_shared,
                         preferred_element_type=jnp.float32) * scale
     weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("nbhqk,nhkd->nbhqd", weights, v_shared,
+    out = jnp.einsum("nbhqk,nhdk->nbhqd", weights, v_shared,
                      preferred_element_type=jnp.float32)
     return merge_heads(out.reshape(nb, heads, t, dh)).astype(q.dtype)
 
@@ -237,25 +258,26 @@ def shared_prefix_block_attention(q, k_shared, v_shared, k_block, v_block):
 
 
 def decode_attention_presplit(q, k_cache, v_cache, kv_mask):
-    """Single-token attention against head-split caches.
+    """Single-token attention against transposed head-split caches.
 
     Args:
       q: (N, 1, D) projected query for the new token.
-      k_cache, v_cache: (N, H, S, dh) — stored pre-split so no transpose
-        copy of the cache happens per decode step (the dominant HBM cost).
+      k_cache, v_cache: (N, H, dh, S) — head-split (no per-step transpose
+        of the cache) AND slot-minor (dense 128-lane tiles; a dh-minor
+        layout streams ~2x the bytes, see :func:`transpose_heads_t`).
       kv_mask: (N, S) bool, True = valid cache slot.
 
     Returns (N, 1, D).
     """
     n, _, d = q.shape
-    heads, s, dh = k_cache.shape[1:]
+    heads, dh, s = k_cache.shape[1:]
     scale = 1.0 / math.sqrt(dh)
 
     qh = split_heads(q, heads)  # (N, H, 1, dh) — tiny
-    scores = jnp.einsum("nhqd,nhkd->nhqk", qh, k_cache,
+    scores = jnp.einsum("nhqd,nhdk->nhqk", qh, k_cache,
                         preferred_element_type=jnp.float32) * scale
     scores = jnp.where(kv_mask[:, None, None, :], scores, NEG_INF)
     weights = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("nhqk,nhkd->nhqd", weights, v_cache,
+    out = jnp.einsum("nhqk,nhdk->nhqd", weights, v_cache,
                      preferred_element_type=jnp.float32)
     return merge_heads(out).astype(q.dtype)

@@ -513,10 +513,13 @@ def test_int8_prefix_with_sliding_window_crossing(rng):
 
 
 def test_kv_quant_roundtrip_error_bound(rng):
-    from qaig_tpu.ops.kv_quant import quantize_kv, dequantize_kv
-    x = jnp.asarray(rng.standard_normal((4, 2, 8, 16)), jnp.float32)
-    q, s = quantize_kv(x)
-    back = dequantize_kv(q, s, jnp.float32)
-    amax = np.abs(np.asarray(x)).max(axis=-1, keepdims=True)
+    """Transposed-layout (.., dh, S) quantization: per-SLOT scales (reduce
+    over dh), scales dense (.., S)."""
+    from qaig_tpu.ops.kv_quant import quantize_kv_t, dequantize_kv_t
+    x = jnp.asarray(rng.standard_normal((4, 2, 16, 8)), jnp.float32)
+    q, s = quantize_kv_t(x)
+    assert q.shape == x.shape and s.shape == (4, 2, 8)
+    back = dequantize_kv_t(q, s, jnp.float32)
+    amax = np.abs(np.asarray(x)).max(axis=-2, keepdims=True)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x),
                                atol=float(amax.max()) / 127 * 1.01)
