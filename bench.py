@@ -212,6 +212,10 @@ def main():
                         help="int8 shared-prefix KV cache (serving option; "
                              "small numeric delta, ~halves the dominant "
                              "decode HBM stream)")
+    parser.add_argument("--fused-decode", action="store_true",
+                        help="Pallas transposed-layout decode-attention "
+                             "kernels for the rollout hot loop (in-kernel "
+                             "int8 dequant when combined with --int8-kv)")
     parser.add_argument("--fp32", action="store_true",
                         help="run the cascade in float32 (the product "
                              "default / reference numerics) instead of the "
@@ -233,6 +237,10 @@ def main():
         mode += "_int8kv"
     if args.fp32:
         mode += "_fp32"
+    if args.fused_decode:
+        from qaig_tpu.ops.attention import set_fused_decode_enabled
+        set_fused_decode_enabled(True)
+        mode += "_fusedattn"
     try:
         _run(args, mode=mode)
     except Exception as e:  # never leave the driver without a metric line

@@ -43,6 +43,28 @@ def set_flash_enabled(value):
     _FLASH_ENABLED = value
 
 
+_FUSED_DECODE_ENABLED = False
+
+
+def set_fused_decode_enabled(value):
+    """Dispatch the rollout decode's shared-prefix attention to the Pallas
+    transposed-layout kernels (``ops/decode_attention.py``) instead of the
+    XLA einsum path.  Off by default pending the on-chip A/B
+    (docs/PERFORMANCE.md)."""
+    global _FUSED_DECODE_ENABLED
+    _FUSED_DECODE_ENABLED = value
+
+
+def _fused_decode_supported(q, k_shared, k_block):
+    import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if q.ndim != 3 or q.shape[1] != 1 or k_shared.ndim != 4:
+        return False
+    n = k_shared.shape[0]
+    return q.shape[0] % n == 0
+
+
 def split_heads(x, heads):
     """(N, S, D) -> (N, H, S, D/H)."""
     n, s, d = x.shape
@@ -146,6 +168,16 @@ def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
 
     Returns (N*B, 1, D).
     """
+    if _FUSED_DECODE_ENABLED and _fused_decode_supported(q, k_shared,
+                                                         k_block):
+        from qaig_tpu.ops import decode_attention as da
+        if k_scale is not None:
+            return da.shared_prefix_attention_fused_int8(
+                q, k_shared, k_scale, v_shared, v_scale, k_block, v_block,
+                index0, block_index)
+        return da.shared_prefix_attention_fused_t(
+            q, k_shared, v_shared, k_block, v_block, index0, block_index)
+
     nb, _, d = q.shape
     n, heads, dh, s = k_shared.shape
     b = nb // n

@@ -106,46 +106,6 @@ def test_hybrid_sliding_decode_matches_reference_semantics(rng):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("use_encoder,use_pos", [(False, False),
-                                                 (True, False),
-                                                 (True, True),
-                                                 (False, True)])
-def test_fast_step_matches_full_forward(rng, use_encoder, use_pos):
-    """The op-minimal fused decode step must reproduce the teacher-forcing
-    logits position by position."""
-    import jax
-    from qaig_tpu.infer import fast_step
-
-    cfg = _small_cfg(use_encoder=use_encoder, use_pos_cond=use_pos)
-    model = Transformer(cfg)
-    params = model.init(jax.random.PRNGKey(7))
-
-    n, seq = 2, 6
-    tokens = jnp.asarray(rng.integers(0, cfg.num_dec_embedding, (n, seq)))
-    x_enc = (jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
-             if use_encoder else None)
-    # positions == slot indices (pre-slide hybrid contract)
-    pos_cond = (jnp.broadcast_to(jnp.arange(seq)[None], (n, seq))
-                if use_pos else None)
-
-    full = model.apply(params, tokens, x_enc=x_enc, pos_cond=pos_cond)
-
-    cross_kv = None
-    if use_encoder:
-        cross_kv = model.make_cross_kv(params, model.encode(params, x_enc))
-
-    packed = fast_step.pack_step(model, params)
-    cache = fast_step.init_stacked_cache(model, n, seq, jnp.float32)
-    for i in range(seq):
-        logits, cache = fast_step.fast_decode_step(
-            model, params, packed, tokens[:, i], cache, jnp.asarray(i),
-            cross_kv=cross_kv,
-            pos_cond_value=jnp.asarray(i) if use_pos else None)
-        np.testing.assert_allclose(np.asarray(logits),
-                                   np.asarray(full[:, i]), atol=2e-4,
-                                   err_msg=f"position {i}")
-
-
 @pytest.mark.parametrize("use_pos", [False, True])
 def test_shared_prefix_rollout_matches_tiled(rng, use_pos):
     """The shared-prefix beam segment must reproduce the legacy

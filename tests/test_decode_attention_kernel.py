@@ -1,8 +1,9 @@
-"""Fused shared-prefix decode-attention kernel vs the XLA einsum path.
+"""Fused shared-prefix decode-attention kernels vs the XLA einsum path.
 
-TPU-only (Pallas TPU kernels don't run on the CPU test backend); the XLA
-path remains the shipped default after an honest A/B (docs/PERFORMANCE.md
-round-2 negative results).
+TPU-only (Pallas TPU kernels don't run on the CPU test backend).  Round 3:
+the transposed-layout (N, H, dh, S) kernels — bf16 and int8 with in-kernel
+dequantization — match the XLA path at engine shapes; see
+docs/PERFORMANCE.md for the shipped-default decision.
 """
 
 import numpy as np
@@ -15,22 +16,65 @@ pytestmark = pytest.mark.skipif(
     reason="Pallas TPU kernel needs a TPU backend")
 
 
+def _inputs(n=8, b=4, h=8, s=256, dh=64, bw=8, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda shape: jnp.asarray(rng.standard_normal(shape) * 0.1,
+                                   jnp.bfloat16)
+    return (mk((n * b, 1, h * dh)), mk((n, h, dh, s)), mk((n, h, dh, s)),
+            mk((n * b, h, bw, dh)), mk((n * b, h, bw, dh)))
+
+
 @pytest.mark.parametrize("index0,block_index", [(200, 5), (1, 0), (256, 7)])
-def test_fused_matches_einsum(index0, block_index):
+def test_fused_t_matches_einsum(index0, block_index):
     from qaig_tpu.ops.attention import shared_prefix_attention
-    from qaig_tpu.ops.decode_attention import shared_prefix_attention_fused
+    from qaig_tpu.ops.decode_attention import shared_prefix_attention_fused_t
 
-    N, B, H, S, dh, bw = 8, 4, 8, 256, 64, 8
-    rng = np.random.default_rng(0)
-    mk = lambda shape: jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
-    q = mk((N * B, 1, H * dh))
-    ks, vs = mk((N, H, S, dh)), mk((N, H, S, dh))
-    kb, vb = mk((N * B, H, bw, dh)), mk((N * B, H, bw, dh))
-
-    want = shared_prefix_attention(q, ks, vs, kb, vb,
-                                   jnp.asarray(index0), jnp.asarray(block_index))
-    got = shared_prefix_attention_fused(q, ks, vs, kb, vb,
-                                        jnp.asarray(index0),
-                                        jnp.asarray(block_index))
+    q, kt, vt, kb, vb = _inputs()
+    want = shared_prefix_attention(q, kt, vt, kb, vb,
+                                   jnp.asarray(index0),
+                                   jnp.asarray(block_index))
+    got = shared_prefix_attention_fused_t(q, kt, vt, kb, vb,
+                                          jnp.asarray(index0),
+                                          jnp.asarray(block_index))
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32), atol=2e-2)
+
+
+def test_fused_int8_matches_xla_int8():
+    """In-kernel dequant == the XLA folded-scales int8 path (same math,
+    tolerance covers reduction-order differences only)."""
+    from qaig_tpu.ops.attention import shared_prefix_attention
+    from qaig_tpu.ops.decode_attention import (
+        shared_prefix_attention_fused_int8)
+    from qaig_tpu.ops.kv_quant import quantize_kv_t
+
+    q, kt, vt, kb, vb = _inputs()
+    k8, ks = quantize_kv_t(kt)
+    v8, vs = quantize_kv_t(vt)
+    want = shared_prefix_attention(q, k8, v8, kb, vb, jnp.asarray(200),
+                                   jnp.asarray(5), k_scale=ks, v_scale=vs)
+    got = shared_prefix_attention_fused_int8(q, k8, ks, v8, vs, kb, vb,
+                                             jnp.asarray(200),
+                                             jnp.asarray(5))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=2e-2)
+
+
+def test_fused_int8_close_to_bf16():
+    """Quantization error stays within the documented serving bound."""
+    from qaig_tpu.ops.attention import shared_prefix_attention
+    from qaig_tpu.ops.decode_attention import (
+        shared_prefix_attention_fused_int8)
+    from qaig_tpu.ops.kv_quant import quantize_kv_t
+
+    q, kt, vt, kb, vb = _inputs()
+    k8, ks = quantize_kv_t(kt)
+    v8, vs = quantize_kv_t(vt)
+    exact = shared_prefix_attention(q, kt, vt, kb, vb, jnp.asarray(200),
+                                    jnp.asarray(5))
+    got = shared_prefix_attention_fused_int8(q, k8, ks, v8, vs, kb, vb,
+                                             jnp.asarray(200),
+                                             jnp.asarray(5))
+    err = np.max(np.abs(np.asarray(exact, np.float32)
+                        - np.asarray(got, np.float32)))
+    assert err < 0.05, err
