@@ -51,7 +51,8 @@ def to_bf16(tree):
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
 
-def build_cascade(scale="full", dtype=jnp.bfloat16, int8_kv=False):
+def build_cascade(scale="full", dtype=jnp.bfloat16, int8_kv=False,
+                  flat_decode=False):
     """Stage descriptors: (transformer, params, engine, lr_cb, hr_cb,
     settings, sliding_window)."""
     if scale == "full":
@@ -113,7 +114,8 @@ def build_cascade(scale="full", dtype=jnp.bfloat16, int8_kv=False):
         num_beam, beam_width = beams[i]
         stages.append(dict(model=model, params=params,
                            engine=DecodeEngine(
-                               model, quantized_prefix=int8_kv),
+                               model, quantized_prefix=int8_kv,
+                               flat_decode=flat_decode),
                            lr=lr_cb, hr=hr_cb,
                            settings=settings, window=window,
                            total_seq=hr_cb[0].seq_len, k=k, base=base,
@@ -212,6 +214,10 @@ def main():
                         help="int8 shared-prefix KV cache (serving option; "
                              "small numeric delta, ~halves the dominant "
                              "decode HBM stream)")
+    parser.add_argument("--flat-decode", action="store_true",
+                        help="interleaved flat Pallas decode-attention "
+                             "kernel for the rollout hot loop (in-kernel "
+                             "int8 dequant when combined with --int8-kv)")
     parser.add_argument("--fused-decode", action="store_true",
                         help="Pallas transposed-layout decode-attention "
                              "kernels for the rollout hot loop (in-kernel "
@@ -237,6 +243,8 @@ def main():
         mode += "_int8kv"
     if args.fp32:
         mode += "_fp32"
+    if args.flat_decode:
+        mode += "_flat"
     if args.fused_decode:
         from qaig_tpu.ops.attention import set_fused_decode_enabled
         set_fused_decode_enabled(True)
@@ -256,7 +264,8 @@ def _run(args, mode):
     stages, decoder, dec_params = build_cascade(
         args.scale, dtype=(jnp.float32 if getattr(args, "fp32", False)
                            else jnp.bfloat16),
-        int8_kv=getattr(args, "int8_kv", False))
+        int8_kv=getattr(args, "int8_kv", False),
+        flat_decode=getattr(args, "flat_decode", False))
     stage_params = [st["params"] for st in stages]
 
     # >1 chip: shard the image batch over a ('data',) mesh; params stay

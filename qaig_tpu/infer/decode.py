@@ -139,7 +139,7 @@ def _select_beam(tree, winner, num_beam):
 
 class DecodeEngine:
     def __init__(self, model, quantized_prefix=False,
-                 legacy_windowed_rollouts=False):
+                 legacy_windowed_rollouts=False, flat_decode=False):
         # quantized_prefix: store the rollout decode's SHARED prefix K/V
         # int8 with per-slot scales (ops/kv_quant.py) — halves the dominant
         # HBM stream of beam decode at a small numeric cost (serving
@@ -148,10 +148,46 @@ class DecodeEngine:
         # legacy_windowed_rollouts: force the tile-everything fallback for
         # sliding-window beam segments instead of the shared windowed path
         # (A/B testing; also used automatically when beam_width >= window).
+        # flat_decode: route rollout-segment attention through the
+        # interleaved flat Pallas kernel (ops/decode_attention.py) — the
+        # per-segment cache read becomes an interleave instead of a plain
+        # slice, and each step's attention reads it directly in-kernel.
+        # Requires a TPU backend; combined with quantized_prefix the int8
+        # dequantization happens in-kernel (no materialized bf16 copy).
         self.model = model
         self.quantized_prefix = quantized_prefix
         self.legacy_windowed_rollouts = legacy_windowed_rollouts
+        self.flat_decode = flat_decode
         self._jit_cache = {}
+
+    def _read_views(self, caches, read_len):
+        """Per-segment read views of the shared prefix caches, statically
+        sliced to ``read_len`` slots and FORCE-MATERIALIZED.
+
+        The in-scan attention must read a fresh intermediate whose layout
+        XLA picks for streaming; left to itself, layout assignment
+        sometimes elides the slice (``read_len == cap``) or fuses it into
+        every scan step, re-streaming the badly-laid-out parameter buffer
+        at ~5x the cost — measured 5.8 vs 1.1 ms per 7-layer step at bench
+        shapes (scripts/probe_slice.py, scripts/probe_cap2 in
+        docs/PERFORMANCE.md).  ``+ 0`` under an optimization barrier pins
+        the copy.  With ``flat_decode`` the copy is instead the flat
+        Pallas kernel's interleaved (N, dh, S*H) layout."""
+        views = [{key: value[..., :read_len] for key, value in c.items()}
+                 for c in caches]
+        if self.flat_decode:
+            from qaig_tpu.ops.decode_attention import (interleave_t,
+                                                       interleave_scale)
+            return [
+                dict({"k": interleave_t(c["k"]),
+                      "v": interleave_t(c["v"])},
+                     **({"k_scale": interleave_scale(c["k_scale"]),
+                         "v_scale": interleave_scale(c["v_scale"])}
+                        if "k_scale" in c else {}))
+                for c in views]
+        views = [{key: value + 0 for key, value in c.items()}
+                 for c in views]
+        return jax.lax.optimization_barrier(views)
 
     def _quantize_prefix(self, arrays):
         from qaig_tpu.ops.kv_quant import quantize_caches
@@ -309,9 +345,7 @@ class DecodeEngine:
                     nb, beam_width, params["dec_embedding"]["w"].dtype)
                 # slot axis is the LAST dim for both the transposed caches
                 # (N, H, dh, S) and their int8 scales (N, H, S)
-                read_caches = [
-                    {key: value[..., :read_len] for key, value in c.items()}
-                    for c in arrays["caches"]]
+                read_caches = self._read_views(arrays["caches"], read_len)
 
                 logits0 = _tile({"x": arrays["logits"]}, num_beam)["x"]
                 ctx0 = (_tile({"x": arrays["ctx"]}, num_beam)["x"]
@@ -426,10 +460,8 @@ class DecodeEngine:
                     index0 = arrays["index"]
                     cap = arrays["caches"][0]["k"].shape[-1]
                     read_len = min(cap, -(-c0 // 32) * 32)
-                    read_caches = [
-                        {key: value[..., :read_len]
-                         for key, value in c.items()}
-                        for c in arrays["caches"]]
+                    read_caches = self._read_views(arrays["caches"],
+                                                   read_len)
 
                     def body(carry, step_rng):
                         logits, blocks_, j, lp = carry

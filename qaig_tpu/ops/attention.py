@@ -168,6 +168,18 @@ def shared_prefix_attention(q, k_shared, v_shared, k_block, v_block,
 
     Returns (N*B, 1, D).
     """
+    if k_shared.ndim == 3:
+        # INTERLEAVED (N, dh, S*H) caches (column = slot*H + head): the
+        # flat Pallas kernel is the only consumer of this layout — it
+        # reads jit-arg caches directly at full stream rate, where the
+        # XLA einsum needs a materialized well-laid-out copy first
+        # (docs/PERFORMANCE.md round-3 kernels).
+        from qaig_tpu.ops import decode_attention as da
+        heads = q.shape[2] // k_shared.shape[1]
+        return da.shared_prefix_attention_fused_flat(
+            q, k_shared, v_shared, k_block, v_block, index0, block_index,
+            heads=heads, k_scale=k_scale, v_scale=v_scale)
+
     if _FUSED_DECODE_ENABLED and _fused_decode_supported(q, k_shared,
                                                          k_block):
         from qaig_tpu.ops import decode_attention as da

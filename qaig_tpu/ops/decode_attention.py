@@ -166,6 +166,176 @@ def shared_prefix_attention_fused_t(q, kt_shared, vt_shared, k_block,
     return out.transpose(0, 2, 1, 3).reshape(q.shape[0], 1, q.shape[2])
 
 
+# ---------------------------------------------------------------------------
+# Interleaved flattened kernels: cache stored (N, dh, S*H), column
+# c = slot*H + head.  All heads' prefix scores come from ONE MXU dot per
+# (element, layer) — (H*B, dh) x (dh, S*H) — cross-head pairs masked in the
+# f32 score matrix (the 1/H-useful waste is VPU-cheap; the per-head loop
+# above is latency-bound instead).  Slot windows stay CONTIGUOUS column
+# ranges (read_len slices, per-segment merges, per-step writes), so the
+# layout is engine-compatible.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_flat(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
+                 out_ref, ms_ref, mb_ref, *, ks_ref=None, vs_ref=None):
+    """``G`` batch elements per grid program (G = block's leading dim;
+    grouping amortizes per-program overhead — the G=1 kernel spends most
+    of its time in program dispatch, not DMA).  q (G,H,B,dh) PRE-SCALED
+    by 1/sqrt(dh); interleaved prefix K/V (G, dh, S*H) bf16 or int8
+    [+ scales (G, 1, S*H)]; blocks (G,H,B,bw,dh) -> out (G,H,B,dh).
+
+    The additive masks ms (HB, S*H) / mb (HB, HB*bw) (0 valid / -1e30
+    invalid) are built ONCE by the first grid program into VMEM scratch
+    that persists across the sequential TPU grid — the per-program
+    iota/mod/compare build was ~40% of the kernel's VPU work (which, not
+    DMA, bounds the grouped kernel), and passing masks as inputs instead
+    costs a 256 KB DMA per program."""
+    index0 = idx_ref[0]
+    block_index = idx_ref[1]
+    g, h, b, dh = q_ref.shape
+    sh = kil_ref.shape[2]
+    bw = kb_ref.shape[3]
+    hb = h * b
+
+    @pl.when(pl.program_id(0) == 0)
+    def _build_masks():
+        row = jax.lax.broadcasted_iota(jnp.int32, (hb, sh), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (hb, sh), 1)
+        valid_s = jnp.logical_and(row // b == col % h, col // h < index0)
+        ms_ref[...] = jnp.where(valid_s, 0.0, NEG).astype(jnp.float32)
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (hb, hb * bw), 0)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (hb, hb * bw), 1)
+        valid_b = jnp.logical_and(r2 == c2 // bw,
+                                  (c2 % bw) <= block_index)
+        mb_ref[...] = jnp.where(valid_b, 0.0, NEG).astype(jnp.float32)
+
+    mask_s = ms_ref[...]
+    mask_b = mb_ref[...]
+
+    for gi in range(g):
+        q2 = q_ref[gi].reshape(hb, dh)              # row r = head*B + b
+
+        kil = kil_ref[gi]
+        k_op = kil.astype(jnp.bfloat16) if kil.dtype == jnp.int8 else kil
+        sc_s = jax.lax.dot_general(
+            q2, k_op, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (HB, S*H)
+        if ks_ref is not None:
+            sc_s = sc_s * ks_ref[gi].reshape(1, sh).astype(jnp.float32)
+        sc_s = sc_s + mask_s
+
+        kb2 = kb_ref[gi].reshape(hb * bw, dh)       # c2 = (h2*B + b2)*bw + t
+        sc_b = jax.lax.dot_general(
+            q2, kb2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + mask_b     # (HB, HB*bw)
+
+        m = jnp.maximum(jnp.max(sc_s, axis=1), jnp.max(sc_b, axis=1))
+        p_s = jnp.exp(sc_s - m[:, None])
+        p_b = jnp.exp(sc_b - m[:, None])
+        denom = jnp.sum(p_s, axis=1) + jnp.sum(p_b, axis=1)
+
+        if vs_ref is not None:
+            p_s = p_s * vs_ref[gi].reshape(1, sh).astype(jnp.float32)
+        vil = vil_ref[gi]
+        v_op = vil.astype(jnp.bfloat16) if vil.dtype == jnp.int8 else vil
+        o_s = jax.lax.dot_general(
+            p_s.astype(jnp.bfloat16), v_op, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (HB, dh)
+        vb2 = vb_ref[gi].reshape(hb * bw, dh)
+        o_b = jax.lax.dot_general(
+            p_b.astype(jnp.bfloat16), vb2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = (o_s + o_b) / denom[:, None]
+        out_ref[gi] = out.reshape(h, b, dh).astype(out_ref.dtype)
+
+
+def _kernel_flat_bf16(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
+                      out_ref, ms_ref, mb_ref):
+    _kernel_flat(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
+                 out_ref, ms_ref, mb_ref)
+
+
+def _kernel_flat_int8(idx_ref, q_ref, kil_ref, ks_ref, vil_ref, vs_ref,
+                      kb_ref, vb_ref, out_ref, ms_ref, mb_ref):
+    _kernel_flat(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
+                 out_ref, ms_ref, mb_ref, ks_ref=ks_ref, vs_ref=vs_ref)
+
+
+def interleave_t(x_t):
+    """(N, H, dh, S) -> interleaved (N, dh, S*H), column = slot*H + head."""
+    n, h, dh, s = x_t.shape
+    return x_t.transpose(0, 2, 3, 1).reshape(n, dh, s * h)
+
+
+def interleave_scale(scale_t):
+    """(N, H, S) per-slot scales -> (N, S*H)."""
+    n, h, s = scale_t.shape
+    return scale_t.transpose(0, 2, 1).reshape(n, s * h)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "group"))
+def shared_prefix_attention_fused_flat(q, k_il, v_il, k_block, v_block,
+                                       index0, block_index, heads,
+                                       k_scale=None, v_scale=None,
+                                       group=None):
+    """Fused shared-prefix rollout attention over INTERLEAVED (N, dh, S*H)
+    prefix caches.  bf16, or int8 with in-kernel dequant when per-column
+    scales (N, S*H) are given.  ``group`` batch elements share one grid
+    program (default: largest of 8/4/2/1 dividing N) — the G=1 grid is
+    program-dispatch-bound, not DMA-bound.  Output-compatible with
+    ``attention.shared_prefix_attention``."""
+    n, dh, sh = k_il.shape
+    q4, kb, vb, b, bw, h, _ = _prep_qb(q, k_block, v_block, n)
+    assert h == heads
+    if group is None:
+        group = next(g for g in (8, 4, 2, 1) if n % g == 0)
+    g = group
+    hb = h * b
+    q4 = (q4.astype(jnp.float32) / math.sqrt(dh)).astype(q4.dtype)
+    idx = jnp.stack([jnp.asarray(index0, jnp.int32),
+                     jnp.asarray(block_index, jnp.int32)])
+
+    quant = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((g, h, b, dh), lambda i, idx: (i, 0, 0, 0)),
+        pl.BlockSpec((g, dh, sh), lambda i, idx: (i, 0, 0)),
+    ]
+    args = [q4, k_il]
+    if quant:
+        # Scales carry a singleton middle dim so the block's trailing two
+        # dims equal the array dims (Mosaic tiling rule).
+        in_specs.append(pl.BlockSpec((g, 1, sh), lambda i, idx: (i, 0, 0)))
+        args.append(k_scale[:, None, :])
+    in_specs.append(pl.BlockSpec((g, dh, sh), lambda i, idx: (i, 0, 0)))
+    args.append(v_il)
+    if quant:
+        in_specs.append(pl.BlockSpec((g, 1, sh), lambda i, idx: (i, 0, 0)))
+        args.append(v_scale[:, None, :])
+    in_specs += [
+        pl.BlockSpec((g, h, b, bw, dh), lambda i, idx: (i, 0, 0, 0, 0)),
+        pl.BlockSpec((g, h, b, bw, dh), lambda i, idx: (i, 0, 0, 0, 0)),
+    ]
+    args += [kb, vb]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(n // g,), in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, h, b, dh), lambda i, idx: (i, 0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((hb, sh), jnp.float32),
+                        pltpu.VMEM((hb, hb * bw), jnp.float32)])
+    kernel = _kernel_flat_int8 if quant else _kernel_flat_bf16
+    out = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((n, h, b, dh), q.dtype),
+        grid_spec=grid_spec,
+        # the default ~16 MB scoped-VMEM cap is far below the chip's real
+        # VMEM (~64+ MB usable, scripts/probe_vmem) — raise it so larger
+        # groups fit their double-buffered K/V blocks
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+    )(idx, *args)
+    return out.transpose(0, 2, 1, 3).reshape(q.shape[0], 1, q.shape[2])
+
+
 @jax.jit
 def shared_prefix_attention_fused_int8(q, k8t_shared, k_scale, v8t_shared,
                                        v_scale, k_block, v_block, index0,

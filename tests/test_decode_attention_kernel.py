@@ -60,6 +60,46 @@ def test_fused_int8_matches_xla_int8():
                                np.asarray(want, np.float32), atol=2e-2)
 
 
+@pytest.mark.parametrize("group", [1, 2, 4])
+@pytest.mark.parametrize("index0,block_index", [(200, 5), (1, 0), (256, 7)])
+def test_fused_flat_matches_einsum(group, index0, block_index):
+    """Interleaved (N, dh, S*H) flat kernel == XLA einsum at every group
+    size and prefix/block fill level."""
+    from qaig_tpu.ops.attention import shared_prefix_attention
+    from qaig_tpu.ops.decode_attention import (
+        shared_prefix_attention_fused_flat, interleave_t)
+
+    q, kt, vt, kb, vb = _inputs()
+    want = shared_prefix_attention(q, kt, vt, kb, vb,
+                                   jnp.asarray(index0),
+                                   jnp.asarray(block_index))
+    got = shared_prefix_attention_fused_flat(
+        q, interleave_t(kt), interleave_t(vt), kb, vb,
+        jnp.asarray(index0), jnp.asarray(block_index), heads=8, group=group)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=2e-2)
+
+
+def test_fused_flat_int8_matches_xla_int8():
+    """Flat-kernel in-kernel dequant == the XLA folded-scales int8 path."""
+    from qaig_tpu.ops.attention import shared_prefix_attention
+    from qaig_tpu.ops.decode_attention import (
+        shared_prefix_attention_fused_flat, interleave_t, interleave_scale)
+    from qaig_tpu.ops.kv_quant import quantize_kv_t
+
+    q, kt, vt, kb, vb = _inputs()
+    k8, ks = quantize_kv_t(kt)
+    v8, vs = quantize_kv_t(vt)
+    want = shared_prefix_attention(q, k8, v8, kb, vb, jnp.asarray(200),
+                                   jnp.asarray(5), k_scale=ks, v_scale=vs)
+    got = shared_prefix_attention_fused_flat(
+        q, interleave_t(k8), interleave_t(v8), kb, vb, jnp.asarray(200),
+        jnp.asarray(5), heads=8, k_scale=interleave_scale(ks),
+        v_scale=interleave_scale(vs), group=4)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=2e-2)
+
+
 def test_fused_int8_close_to_bf16():
     """Quantization error stays within the documented serving bound."""
     from qaig_tpu.ops.attention import shared_prefix_attention
