@@ -160,7 +160,19 @@ class DecodeEngine:
         self.flat_decode = flat_decode
         self._jit_cache = {}
 
-    def _read_views(self, caches, read_len):
+    def _flat_segment(self, num_beam, block_width):
+        """Whether this rollout segment's attention goes through the flat
+        Pallas kernel: engine opt-in AND static shapes the kernel supports
+        (``ops/decode_attention.flat_segment_supported``) — e.g. stage-0
+        beam fans (32 rollouts) and non-aligned crossing block widths fall
+        back to the XLA transposed path."""
+        if not self.flat_decode:
+            return False
+        from qaig_tpu.ops.decode_attention import flat_segment_supported
+        return flat_segment_supported(
+            self.model.cfg.self_attn_heads, num_beam, block_width)
+
+    def _read_views(self, caches, read_len, flat=False):
         """Per-segment read views of the shared prefix caches, statically
         sliced to ``read_len`` slots and FORCE-MATERIALIZED.
 
@@ -171,11 +183,11 @@ class DecodeEngine:
         at ~5x the cost — measured 5.8 vs 1.1 ms per 7-layer step at bench
         shapes (scripts/probe_slice.py, scripts/probe_cap2 in
         docs/PERFORMANCE.md).  ``+ 0`` under an optimization barrier pins
-        the copy.  With ``flat_decode`` the copy is instead the flat
-        Pallas kernel's interleaved (N, dh, S*H) layout."""
+        the copy.  With ``flat`` the copy is instead the flat Pallas
+        kernel's interleaved (N, dh, S*H) layout."""
         views = [{key: value[..., :read_len] for key, value in c.items()}
                  for c in caches]
-        if self.flat_decode:
+        if flat:
             from qaig_tpu.ops.decode_attention import (interleave_t,
                                                        interleave_scale)
             return [
@@ -345,7 +357,9 @@ class DecodeEngine:
                     nb, beam_width, params["dec_embedding"]["w"].dtype)
                 # slot axis is the LAST dim for both the transposed caches
                 # (N, H, dh, S) and their int8 scales (N, H, S)
-                read_caches = self._read_views(arrays["caches"], read_len)
+                read_caches = self._read_views(
+                    arrays["caches"], read_len,
+                    flat=self._flat_segment(num_beam, beam_width))
 
                 logits0 = _tile({"x": arrays["logits"]}, num_beam)["x"]
                 ctx0 = (_tile({"x": arrays["ctx"]}, num_beam)["x"]
@@ -460,8 +474,9 @@ class DecodeEngine:
                     index0 = arrays["index"]
                     cap = arrays["caches"][0]["k"].shape[-1]
                     read_len = min(cap, -(-c0 // 32) * 32)
-                    read_caches = self._read_views(arrays["caches"],
-                                                   read_len)
+                    read_caches = self._read_views(
+                        arrays["caches"], read_len,
+                        flat=self._flat_segment(num_beam, n_cached))
 
                     def body(carry, step_rng):
                         logits, blocks_, j, lp = carry

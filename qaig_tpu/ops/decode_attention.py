@@ -262,6 +262,26 @@ def _kernel_flat_int8(idx_ref, q_ref, kil_ref, ks_ref, vil_ref, vs_ref,
                  out_ref, ms_ref, mb_ref, ks_ref=ks_ref, vs_ref=vs_ref)
 
 
+def flat_segment_supported(heads, num_beam, block_width):
+    """Whether the interleaved flat kernel handles a rollout segment's
+    STATIC shapes well (the engine falls back to the XLA transposed path
+    otherwise — correctness is identical either way).
+
+    * ``heads * num_beam`` is the kernel's row count; its masked block-score
+      matrix is (HB, HB*bw) with 1/HB useful — the VPU waste and the f32
+      intermediates' VMEM both scale with HB.  Stage-0 beam fans (32 beams
+      -> HB=256) blew the scoped-VMEM budget at bench scale; the XLA einsum
+      is the right tool there.
+    * ``block_width`` must be sublane-aligned: the kernel folds the block
+      cache (H, B, bw, dh) -> (HB*bw, dh), a Mosaic shape cast that is only
+      supported when bw is a multiple of 8 (a bw=7 crossing segment fails
+      to compile: "infer-vector-layout: unsupported shape cast").
+    """
+    return (heads * num_beam <= 64
+            and block_width > 0
+            and block_width % 8 == 0)
+
+
 def interleave_t(x_t):
     """(N, H, dh, S) -> interleaved (N, dh, S*H), column = slot*H + head."""
     n, h, dh, s = x_t.shape
@@ -289,7 +309,28 @@ def shared_prefix_attention_fused_flat(q, k_il, v_il, k_block, v_block,
     q4, kb, vb, b, bw, h, _ = _prep_qb(q, k_block, v_block, n)
     assert h == heads
     if group is None:
-        group = next(g for g in (8, 4, 2, 1) if n % g == 0)
+        # largest g whose double-buffered blocks + masks fit the scoped
+        # VMEM we request below (bench-scale beams shapes blew the 8-way
+        # pick: blocks alone are g*2*h*b*bw*dh elements)
+        kv_bytes = 1 if k_il.dtype == jnp.int8 else 2
+        hb = h * b
+
+        def vmem_est(g):
+            per_buf = (2 * g * dh * sh * kv_bytes        # prefix K/V
+                       + (4 * g * sh if k_scale is not None else 0)
+                       + 2 * g * hb * bw * dh * 2        # blocks
+                       + 2 * g * hb * dh * 2)            # q + out
+            # masks scratch + Mosaic stack for the body's f32 score/prob
+            # intermediates.  The per-``gi`` loop is UNROLLED, and Mosaic
+            # keeps each iteration's live values on the kernel stack — the
+            # body term scales with g (measured: a g=8 pick at
+            # (hb=256, bw=16) allocated 68.6 MB against a 60.5 MB scoped
+            # limit with a g-independent estimate).
+            body = g * 6 * (hb * sh + hb * hb * bw) * 4
+            return 2 * per_buf + 2 * (hb * sh + hb * hb * bw) * 4 + body
+        budget = 48 * 1024 * 1024
+        group = next(g for g in (8, 4, 2, 1)
+                     if n % g == 0 and (g == 1 or vmem_est(g) <= budget))
     g = group
     hb = h * b
     q4 = (q4.astype(jnp.float32) / math.sqrt(dh)).astype(q4.dtype)
@@ -328,10 +369,11 @@ def shared_prefix_attention_fused_flat(q, k_il, v_il, k_block, v_block,
         kernel, out_shape=jax.ShapeDtypeStruct((n, h, b, dh), q.dtype),
         grid_spec=grid_spec,
         # the default ~16 MB scoped-VMEM cap is far below the chip's real
-        # VMEM (~64+ MB usable, scripts/probe_vmem) — raise it so larger
-        # groups fit their double-buffered K/V blocks
+        # VMEM (~64+ MB usable, scripts/probe_vmem; 100 MB compiles on
+        # v5e) — raise it so larger groups fit their double-buffered K/V
+        # blocks and the body's f32 score intermediates at beams shapes
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=56 * 1024 * 1024),
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(idx, *args)
     return out.transpose(0, 2, 1, 3).reshape(q.shape[0], 1, q.shape[2])
 

@@ -164,7 +164,8 @@ def _weight_names(use_cross, gated):
 
 def _layer_kernel(idx_ref, x_ref, kil_ref, vil_ref, bkf_ref, bvf_ref,
                   ckil_ref, cvil_ref, p_ref, *w, out_ref, kn_ref, vn_ref,
-                  ms_ref, mb_ref, mc_ref, use_cross, gated, heads, beams):
+                  ms_ref, mb_ref, mc_ref, use_cross, gated, heads, beams,
+                  parts=("attn", "cross", "ffn")):
     index0 = idx_ref[0]
     block_index = idx_ref[1]
     W = dict(zip(_weight_names(use_cross, gated), w))
@@ -219,6 +220,10 @@ def _layer_kernel(idx_ref, x_ref, kil_ref, vil_ref, bkf_ref, bvf_ref,
         kn_ref[hh] = k_h[hh]
         vn_ref[hh] = v_h[hh]
 
+    if "attn" not in parts:                           # probe attribution
+        out_ref[...] = x0
+        return
+
     q_all = _assemble(q_h, p_ref, h)                  # (Nc*HB, dh)
     v_all = _assemble(v_h, p_ref, h)
     # diagonal self term: q is pre-scaled, k_new is this row's slot
@@ -267,7 +272,7 @@ def _layer_kernel(idx_ref, x_ref, kil_ref, vil_ref, bkf_ref, bvf_ref,
                          W.get("gate_s"), h)
 
     # -- cross-attention block -----------------------------------------
-    if use_cross:
+    if use_cross and "cross" in parts:
         xn2 = _ln(x1, W["a_c"], W["b_c"])
         hq = _mm(xn2, W["cq_l0w"], W["cq_l0b"], act=True)
         qc_h = _heads_project(hq, W["cq_l1w"], W["cq_l1b"], h)
@@ -292,6 +297,9 @@ def _layer_kernel(idx_ref, x_ref, kil_ref, vil_ref, bkf_ref, bvf_ref,
                              W.get("gate_c"), h)
 
     # -- FFN block ------------------------------------------------------
+    if "ffn" not in parts:
+        out_ref[...] = x1
+        return
     xn3 = _ln(x1, W["a_f"], W["b_f"])
     hf = _mm(xn3, W["f_l0w"], W["f_l0b"], act=True)
     hf = _mm(hf, W["f_l1w"], W["f_l1b"], act=True)    # act on both layers
@@ -414,10 +422,11 @@ def _perm_stack(h, b, nc):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("heads", "beams", "use_cross", "gated", "chunk"))
+    static_argnames=("heads", "beams", "use_cross", "gated", "chunk",
+                     "parts"))
 def decode_layer_fused(x, k_il, v_il, bk, bv, ck_il, cv_il, weights,
                        index0, block_index, heads, beams, use_cross,
-                       gated, chunk=16):
+                       gated, chunk=16, parts=("attn", "cross", "ffn")):
     """One fused decoder layer for one rollout decode step.
 
     Args:
@@ -507,7 +516,7 @@ def decode_layer_fused(x, k_il, v_il, bk, bv, ck_il, cv_il, weights,
                       ckil_ref, cvil_ref, p_ref, *w, out_ref=out_ref,
                       kn_ref=kn_ref, vn_ref=vn_ref, ms_ref=ms_ref,
                       mb_ref=mb_ref, mc_ref=mc_ref, use_cross=use_cross,
-                      gated=gated, heads=heads, beams=beams)
+                      gated=gated, heads=heads, beams=beams, parts=parts)
 
     out, k_new, v_new = pl.pallas_call(
         kernel,

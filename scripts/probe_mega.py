@@ -80,7 +80,7 @@ def timed(fn, label, reps=10, steps=8):
     return dt
 
 
-def main(chunk=16):
+def main(chunk=16, parts=("attn", "cross", "ffn")):
     n, b, h, s, dh, bw, layers, steps = 128, 4, 8, 256, 64, 8, 7, 8
     d, hidden, sc = 512, 2048, 64
     nb = n * b
@@ -117,6 +117,7 @@ def main(chunk=16):
     folded = [fold_layer_weights(p, pk, FakeCfg, pos_cond)
               for p, pk in zip(layer_params, packed)]
 
+    full = set(parts) == {"attn", "cross", "ffn"}
     # ---- correctness: one layer ----
     want, blk_w = oracle_layer(
         layer_params[0], packed[0], bcfg, x,
@@ -126,13 +127,14 @@ def main(chunk=16):
     got, bk_g, bv_g = decode_layer_fused(
         x[:, 0], kil[0], vil[0], blocks0[0]["k"], blocks0[0]["v"],
         ckil[0], cvil[0], w0, index0, block_index, heads=h, beams=b,
-        use_cross=use_cross, gated=gated, chunk=chunk)
-    err = float(jnp.max(jnp.abs(want[:, 0].astype(jnp.float32)
-                                - got.astype(jnp.float32))))
-    errb = float(jnp.max(jnp.abs(
-        blk_w["k"].astype(jnp.float32) - bk_g.astype(jnp.float32))))
-    print(f"megakernel vs oracle: out err {err:.5f}, block-k err {errb:.5f}",
-          flush=True)
+        use_cross=use_cross, gated=gated, chunk=chunk, parts=parts)
+    if full:
+        err = float(jnp.max(jnp.abs(want[:, 0].astype(jnp.float32)
+                                    - got.astype(jnp.float32))))
+        errb = float(jnp.max(jnp.abs(
+            blk_w["k"].astype(jnp.float32) - bk_g.astype(jnp.float32))))
+        print(f"megakernel vs oracle: out err {err:.5f}, "
+              f"block-k err {errb:.5f}", flush=True)
 
     # ---- speed: 7 layers x 8 steps ----
     @jax.jit
@@ -159,21 +161,25 @@ def main(chunk=16):
                 xx, bk2, bv2 = decode_layer_fused(
                     xx, kils[l], vils[l], blks[l]["k"], blks[l]["v"],
                     ckils[l], cvils[l], w, index0, block_index, heads=h,
-                    beams=b, use_cross=uc, gated=gt, chunk=chunk)
+                    beams=b, use_cross=uc, gated=gt, chunk=chunk,
+                    parts=parts)
                 new.append({"k": bk2, "v": bv2})
             return (xx, new), None
         (xx, _), _ = jax.lax.scan(body, (x[:, 0], blocks_), None,
                                   length=steps)
         return xx
 
-    timed(lambda i: run_oracle(x * (1 + i), blocks0,
-                               [{"k": k, "v": v} for k, v in zip(kst, vst)],
-                               ckv_t),
-          "XLA oracle (decode_step_shared ops), 7 layers")
+    if full:
+        timed(lambda i: run_oracle(
+            x * (1 + i), blocks0,
+            [{"k": k, "v": v} for k, v in zip(kst, vst)], ckv_t),
+            "XLA oracle (decode_step_shared ops), 7 layers")
     timed(lambda i: run_mega(x * (1 + i), blocks0, kil, vil, ckil, cvil),
-          f"megakernel, 7 layers, chunk={chunk}")
+          f"megakernel, 7 layers, chunk={chunk}, parts={','.join(parts)}")
 
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    main(chunk=int(sys.argv[1]) if len(sys.argv) > 1 else 16)
+    main(chunk=int(sys.argv[1]) if len(sys.argv) > 1 else 16,
+         parts=tuple(sys.argv[2].split(","))
+         if len(sys.argv) > 2 else ("attn", "cross", "ffn"))

@@ -483,3 +483,45 @@ def test_kv_quant_roundtrip_error_bound(rng):
     amax = np.abs(np.asarray(x)).max(axis=-2, keepdims=True)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x),
                                atol=float(amax.max()) / 127 * 1.01)
+
+
+def test_flat_segment_supported_predicate():
+    """Static shape gate for the interleaved flat Pallas kernel: stage-0
+    beam fans (H*B > 64) and non-sublane-aligned block widths (the bw=7
+    crossing segment Mosaic can't shape-cast) must fall back."""
+    from qaig_tpu.ops.decode_attention import flat_segment_supported
+
+    assert flat_segment_supported(8, 4, 8)        # stage-1/2 rollout
+    assert flat_segment_supported(8, 8, 16)
+    assert not flat_segment_supported(8, 32, 16)  # stage-0: HB=256
+    assert not flat_segment_supported(8, 4, 7)    # crossing n_cached=7
+    assert not flat_segment_supported(8, 4, 4)    # bw % 8 != 0
+    assert not flat_segment_supported(8, 4, 0)    # no block slots yet
+
+
+def test_flat_decode_engine_falls_back_on_unsupported_shapes(rng):
+    """flat_decode=True engine on shapes the kernel does NOT support must
+    route every segment through the XLA transposed path (bw=4 is not
+    sublane-aligned) — identical program, token-identical output — instead
+    of dying in Pallas (which cannot run on the CPU test backend at all,
+    so mere completion also proves the fallback took effect)."""
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+
+    cfg = _small_cfg(use_encoder=True, use_pos_cond=False, out_dim=17,
+                     num_dec_embedding=17)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    n, steps = 2, 16
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+    init = jnp.full((n, 1), 16, jnp.int32)
+    settings = SamplerSettings(temperature=1.0, end_token=16,
+                               end_mode="mask")
+    key = jax.random.PRNGKey(9)
+
+    want = np.asarray(DecodeEngine(model).rollout_generate(
+        params, init, steps, key, settings, num_beam=2, beam_width=4,
+        x_enc=x_enc))
+    got = np.asarray(DecodeEngine(model, flat_decode=True).rollout_generate(
+        params, init, steps, key, settings, num_beam=2, beam_width=4,
+        x_enc=x_enc))
+    np.testing.assert_array_equal(got, want)
