@@ -22,6 +22,11 @@ def main():
     parser.add_argument("--profile-dir", default=None, type=pathlib.Path,
                         help="Capture a jax.profiler trace of the cascade "
                              "generation here.")
+    parser.add_argument("--num-model-shards", type=int, default=1,
+                        help="Tensor-parallel shards for each stage "
+                             "transformer's weights (Megatron MLP "
+                             "sharding over the mesh's model axis; for "
+                             "models too large for one chip).")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
     parser.add_argument("--coordinator-address", default=None, type=str,

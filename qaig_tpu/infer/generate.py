@@ -20,22 +20,30 @@ from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
 from qaig_tpu.models.transformer import Transformer, TransformerConfig
 from qaig_tpu.parallel import batch_sharding, shard_tree
 from qaig_tpu.parallel.mesh import make_mesh_for_batch
+from qaig_tpu.parallel.sharding import transformer_param_spec
 from qaig_tpu.train import common
 from qaig_tpu.utils import load_model, save_images
 
 
 def make_decode_mesh(num_images, n_model=1):
-    """Mesh for sharded batch generation: the image batch is split over the
-    data axis (every chip decodes its slice of the batch; XLA keeps the
-    whole decode collective-free since params are replicated)."""
+    """Mesh for sharded generation: the image batch is split over the
+    data axis; with ``n_model > 1`` the transformer weights are
+    additionally tensor-parallel over the model axis (serving models too
+    large for one chip's HBM)."""
     return make_mesh_for_batch(num_images, n_model=n_model)
 
 
 def shard_decode_inputs(mesh, params, init_tokens, x_enc=None):
-    """Replicate params over the mesh and shard the token batch over
-    'data'.  GSPMD propagates the batch sharding through the whole decode
-    (KV caches, scan carries, sampling)."""
-    params = shard_tree(mesh, params)
+    """Place the decode inputs on the mesh: the token batch shards over
+    'data'; params replicate, or — when the mesh has a model axis — shard
+    Megatron-style per ``transformer_param_spec`` (each 2-layer MLP is
+    column- then row-sharded; one all-reduce per MLP, inserted by XLA).
+    GSPMD propagates both shardings through the whole decode (KV caches,
+    scan carries, sampling)."""
+    if mesh.shape.get("model", 1) > 1:
+        params = shard_tree(mesh, params, transformer_param_spec(params))
+    else:
+        params = shard_tree(mesh, params)
     spec = batch_sharding(mesh, ndim=2)
     init_tokens = jax.device_put(init_tokens, spec)
     if x_enc is not None:
@@ -108,8 +116,11 @@ def run(args):
     num_images = args.get("num_images", 25)
     rng = jax.random.PRNGKey(args.get("seed") or 0)
     profiler = common.Profiler(args)
-    # Sharded batch generation: every chip decodes its slice of the batch.
-    mesh = make_decode_mesh(num_images)
+    # Sharded generation: every chip decodes its slice of the batch; with
+    # --num-model-shards > 1 the transformer weights are tensor-parallel
+    # over the model axis as well.
+    mesh = make_decode_mesh(num_images,
+                            n_model=args.get("num_model_shards") or 1)
     print(f"Generation mesh: data={mesh.shape['data']} "
           f"x model={mesh.shape['model']}")
 

@@ -41,9 +41,12 @@ class CascadeStage:
 class CascadePipeline:
     """The full coarse-to-fine generation stack.
 
-    ``mesh``: optional ``('data', 'model')`` mesh — params are replicated
-    and every generated batch is sharded over the data axis, so serving
-    throughput scales with chips.
+    ``mesh``: optional ``('data', 'model')`` mesh — every generated batch
+    is sharded over the data axis, so serving throughput scales with
+    chips.  When the mesh has a model axis (>1), each stage transformer's
+    weights are additionally tensor-parallel Megatron-style
+    (``parallel.sharding.transformer_param_spec``) — serving models too
+    large for one chip's HBM; codebooks/decoder stay replicated (tiny).
     """
 
     def __init__(self, stages, decoder, dec_params, mesh=None):
@@ -53,9 +56,13 @@ class CascadePipeline:
         self.mesh = mesh
         if mesh is not None:
             from qaig_tpu.parallel import shard_tree
+            from qaig_tpu.parallel.sharding import transformer_param_spec
+            tp = mesh.shape.get("model", 1) > 1
             self.dec_params = shard_tree(mesh, dec_params)
             for stage in self.stages:
-                stage.params = shard_tree(mesh, stage.params)
+                stage.params = shard_tree(
+                    mesh, stage.params,
+                    transformer_param_spec(stage.params) if tp else None)
                 stage.hr_params = shard_tree(mesh, stage.hr_params)
                 if stage.lr_params is not None:
                     stage.lr_params = shard_tree(mesh, stage.lr_params)

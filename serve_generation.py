@@ -27,6 +27,12 @@ def main():
                              "visible chips (params replicated).  Requests "
                              "must then ask for a multiple of the chip "
                              "count (400 otherwise).")
+    parser.add_argument("--num-model-shards", type=int, default=1,
+                        help="Tensor-parallel shards for each stage "
+                             "transformer's weights (Megatron MLP "
+                             "sharding; for models too large for one "
+                             "chip).  Implies a mesh even without "
+                             "--shard-batch.")
     parser.add_argument("--warmup-batch", type=int, default=0,
                         help="Compile the pipeline for this batch size "
                              "before accepting traffic (0 = lazy).")
@@ -42,12 +48,19 @@ def main():
 
     mesh = None
     batch_multiple = 1
-    if args.shard_batch:
+    n_model = max(1, args.num_model_shards)
+    if args.shard_batch or n_model > 1:
         from qaig_tpu.parallel.mesh import make_mesh
-        batch_multiple = len(jax.devices())
-        mesh = make_mesh(n_data=batch_multiple, n_model=1)
-        print(f"serving sharded over {batch_multiple} chips "
-              f"(num_images must be a multiple of {batch_multiple})")
+        n_chips = len(jax.devices())
+        if n_chips % n_model != 0:
+            raise SystemExit(f"--num-model-shards {n_model} must divide "
+                             f"the chip count ({n_chips})")
+        batch_multiple = n_chips // n_model if args.shard_batch else 1
+        mesh = make_mesh(n_data=batch_multiple, n_model=n_model)
+        print(f"serving over {n_chips} chips: data={batch_multiple} "
+              f"x model={n_model}"
+              + (f" (num_images must be a multiple of {batch_multiple})"
+                 if batch_multiple > 1 else ""))
 
     config = common.load_config(args.config_path)
     pipe = CascadePipeline.from_config(

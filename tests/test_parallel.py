@@ -146,3 +146,44 @@ def test_mesh_idle_device_warning(caplog):
         mesh = make_mesh_for_batch(16)  # all 8 devices, no warning
     assert mesh.shape["data"] == 8
     assert not caplog.records
+
+
+def test_tp_sharded_decode_matches_single_device(rng):
+    """Tensor-parallel generation (data=4 x model=2: Megatron MLP sharding
+    via transformer_param_spec, the --num-model-shards inference path) must
+    produce the same tokens as the single-device run — including through a
+    sliding-window crossing segment."""
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+    from qaig_tpu.infer.generate import make_decode_mesh, shard_decode_inputs
+
+    cfg = TransformerConfig(
+        use_encoder=True, use_pos_cond=True, num_enc_layers=1,
+        num_dec_layers=2, num_enc_embedding=8, num_dec_embedding=17,
+        self_attn_heads=2, cross_attn_heads=2, in_dim=16, out_dim=17,
+        hidden_dim=32, hidden_activation="silu")
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    n, window = 8, 8
+    init = jnp.full((n, 1), 16, jnp.int32)
+    x_enc = jnp.asarray(rng.integers(0, 8, (n, 4)), jnp.int32)
+    settings = SamplerSettings(temperature=1.0, end_token=16,
+                               end_mode="mask", index_shift=0, pos_offset=1)
+    key = jax.random.PRNGKey(11)
+
+    want = np.asarray(DecodeEngine(model).rollout_generate(
+        params, init, 16, key, settings, num_beam=2, beam_width=4,
+        x_enc=x_enc, sliding_window=window))
+
+    mesh = make_decode_mesh(n, n_model=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    params_s, init_s, x_enc_s = shard_decode_inputs(mesh, params, init,
+                                                    x_enc)
+    # the MLP weights must actually live sharded over the model axis
+    l0w = params_s["decoder_layers"][0]["self_attn"]["attn"]["q"]["l0"]["w"]
+    assert not l0w.sharding.is_fully_replicated
+    got = DecodeEngine(model).rollout_generate(
+        params_s, init_s, 16, key, settings, num_beam=2, beam_width=4,
+        x_enc=x_enc_s, sliding_window=window)
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(got), want)
