@@ -37,6 +37,34 @@ def model_from_checkpoint(ckpt, logging=print):
     return model, params
 
 
+def _adam_from_orbax_flat(flat):
+    """Rebuild an Adam-state node from an ``.orbax`` checkpoint's flat
+    dotted-path ``model_optimizer`` dict.  ``flatten_tree`` flattens the
+    optax namedtuples POSITIONALLY, so ``ScaleByAdamState(count, mu, nu)``
+    restores as ``{"<p>.0": count, "<p>.1.<param>": mu, "<p>.2.<param>":
+    nu}`` for some tuple-prefix ``<p>``.  Returns None when the dict holds
+    no such node (e.g. a torch-format round-trip)."""
+    import numpy as np
+    from collections import namedtuple
+
+    # candidate prefixes: keys holding a scalar at tuple position 0
+    prefixes = []
+    for key, value in flat.items():
+        if (key == "0" or key.endswith(".0")) and np.ndim(value) == 0:
+            prefixes.append(key[:-2] if key.endswith(".0") else "")
+    for p in sorted(prefixes, key=len):
+        mu_p = (p + ".1." if p else "1.")
+        nu_p = (p + ".2." if p else "2.")
+        mu = {k[len(mu_p):]: v for k, v in flat.items()
+              if k.startswith(mu_p)}
+        nu = {k[len(nu_p):]: v for k, v in flat.items()
+              if k.startswith(nu_p)}
+        if mu and sorted(mu) == sorted(nu):
+            node = namedtuple("AdamState", ["count", "mu", "nu"])
+            return node(flat[p + ".0" if p else "0"], mu, nu)
+    return None
+
+
 def run(args):
     status, ckpt = load_model(str(args["model_path"]))
     if not status:
@@ -44,9 +72,21 @@ def run(args):
     model, params = model_from_checkpoint(ckpt)
 
     opt_state = None
-    if not args.get("no_optim") and ckpt.get("model_optimizer") is not None \
-            and not isinstance(ckpt["model_optimizer"], dict):
+    if not args.get("no_optim") and ckpt.get("model_optimizer") is not None:
         opt_state = ckpt["model_optimizer"]
+        if isinstance(opt_state, dict):
+            # orbax backend: the optimizer came back as a flat dotted-path
+            # dict (or a torch-format dict from a round-trip, which
+            # export_checkpoint re-tensorizes itself) — don't drop it
+            # silently.
+            from qaig_tpu.utils.torch_optim import is_torch_adam_state
+            if is_torch_adam_state(opt_state):
+                opt_state = None  # export_checkpoint handles this case
+            else:
+                opt_state = _adam_from_orbax_flat(opt_state)
+                if opt_state is None and not args.get("no_optim"):
+                    print("Warning: checkpoint's model_optimizer has no "
+                          "recognizable Adam state; exporting without it.")
 
     export_checkpoint(model, ckpt, args["out_path"], opt_state=opt_state,
                       learning_rate=args.get("lr"))

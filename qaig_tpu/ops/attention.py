@@ -61,6 +61,13 @@ def _fused_decode_supported(q, k_shared, k_block):
         return False
     if q.ndim != 3 or q.shape[1] != 1 or k_shared.ndim != 4:
         return False
+    # The per-head kernels fold the block cache (B, bw, dh) -> (B*bw, dh),
+    # a Mosaic shape cast that only compiles when bw is sublane-aligned —
+    # crossing segments with bw = n_cached (e.g. 7) must fall back (same
+    # constraint as decode_attention.flat_segment_supported).
+    bw = k_block.shape[2]
+    if bw == 0 or bw % 8 != 0:
+        return False
     n = k_shared.shape[0]
     return q.shape[0] % n == 0
 

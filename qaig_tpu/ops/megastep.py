@@ -448,6 +448,10 @@ def decode_layer_fused(x, k_il, v_il, bk, bv, ck_il, cv_il, weights,
     dh = d // h
     bh = b * h
     nc = min(chunk, n)
+    if n % nc != 0:
+        raise ValueError(
+            f"decode_layer_fused: chunk {nc} must divide the batch {n} "
+            f"(the grid would silently drop the remainder rows)")
     r = nc * b
     rbh = nc * bh
     rhw = r * h * bw

@@ -51,5 +51,5 @@ def make_mesh_for_batch(batch_size, n_model=1, devices=None):
             "Mesh %dx%d uses %d of %d devices (batch %d not divisible by "
             "more); %d chips idle — pad the batch to a multiple of %d to "
             "use them all.", n_data, n_model, used, len(devices),
-            batch_size, len(devices) - used, cap * n_model)
+            batch_size, len(devices) - used, cap)
     return make_mesh(n_data=n_data, n_model=n_model, devices=devices)

@@ -11,11 +11,14 @@ waiting while the device is busy and runs them as ONE padded batch (batch
 sizes bucketed to ``batch_multiple * 2^k`` so the jitted pipeline compiles
 O(log max_batch) shapes, not one per arrival pattern), then splits the
 rows back per request.  N concurrent 1-image requests cost ~one cascade
-dispatch instead of N full latencies.  Determinism note: a request's
-``seed`` fully determines its result only for a given coalesced batch
-composition (solo requests reproduce the batch CLI exactly); the decode
-draws one categorical key per step across the merged batch, so co-batched
-neighbours shift the per-row sampling noise.
+dispatch instead of N full latencies.  Determinism note: a SOLO request
+always runs with its own seed at its own row count (padded only to the
+mesh multiple), reproducing the batch CLI exactly on an unsharded server;
+a request's result under coalescing is determined by the merged batch
+composition — the decode draws one categorical key per step across the
+merged batch, so co-batched neighbours shift the per-row sampling noise.
+``max_batch`` is rounded down to a ``batch_multiple`` multiple so no
+padded dispatch exceeds the operator's memory bound.
 
 Endpoints
 ---------
@@ -61,8 +64,13 @@ class RequestBatcher:
 
     def __init__(self, pipeline, max_batch=64, batch_multiple=1):
         self.pipeline = pipeline
-        self.max_batch = max_batch
         self.batch_multiple = max(1, batch_multiple)
+        # The operator's memory bound, rounded DOWN to a mesh multiple so a
+        # padded dispatch can never exceed it (a ceil-to-multiple fallback
+        # used to overshoot max_batch when it wasn't itself a multiple).
+        self.max_batch = max(
+            self.batch_multiple,
+            (max_batch // self.batch_multiple) * self.batch_multiple)
         self._cv = threading.Condition()
         self._pending = []
         self._stop = False
@@ -74,7 +82,9 @@ class RequestBatcher:
         while cap < total:
             cap *= 2
         if cap > self.max_batch:
-            # stay near the memory bound: smallest multiple that fits
+            # stay at the memory bound: smallest multiple that fits (total
+            # <= max_batch, which is itself a multiple, so this never
+            # exceeds max_batch)
             cap = -(-total // self.batch_multiple) * self.batch_multiple
         return cap
 
@@ -108,10 +118,16 @@ class RequestBatcher:
                 if not batch:  # head alone exceeds max_batch (validated
                     req = self._pending.pop(0)  # upstream; belt and braces)
                     batch, total = [req], req["num"]
-            padded = self._bucket(total)
-            if len(batch) == 1 and padded == batch[0]["num"]:
-                seed = batch[0]["seed"]  # solo = exact batch-CLI semantics
+            if len(batch) == 1:
+                # solo = batch-CLI semantics: the request's own seed, padded
+                # only as far as the mesh requires (exactly num rows when
+                # batch_multiple is 1) — bucketing a solo request would
+                # change its row count and hence its sampling draws.
+                padded = (-(-batch[0]["num"] // self.batch_multiple)
+                          * self.batch_multiple)
+                seed = batch[0]["seed"]
             else:
+                padded = self._bucket(total)
                 seed = 0
                 for req in batch:
                     seed = (seed * 1000003 + req["num"] * 31
@@ -184,10 +200,10 @@ class GenerationServer:
                     num = int(req.get("num_images", 1))
                     seed = int(req.get("seed", 0))
                     want_images = bool(req.get("return_images", False))
-                    if not 1 <= num <= server.max_batch:
+                    if not 1 <= num <= server.batcher.max_batch:
                         self._reply(400, {
                             "error": f"num_images must be in "
-                                     f"[1, {server.max_batch}]"})
+                                     f"[1, {server.batcher.max_batch}]"})
                         return
                     # no per-request batch_multiple constraint: the batcher
                     # pads the MERGED batch to a multiple, so any num rows

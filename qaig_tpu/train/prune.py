@@ -97,5 +97,7 @@ def run(args):
         logging=log.info)
     log.info("Successfully saved codebook." if save_status
              else "Error occured saving codebook.")
-    wait_pending_saves(logging=log.info)  # join any orbax-async write
+    if not wait_pending_saves(logging=log.info):  # join async write
+        raise RuntimeError(
+            "An error occured while saving model checkpoint!")
     return new_model, new_params

@@ -435,5 +435,7 @@ def run(args):
             break
     profiler.close()
     metrics.close()
-    wait_pending_saves(logging=log.info)  # join any orbax-async write
+    if not wait_pending_saves(logging=log.info):  # join async write
+        raise RuntimeError(
+            "An error occured while saving model checkpoint!")
     return model, params

@@ -215,3 +215,59 @@ def test_request_batcher_pads_to_multiple():
     batcher.stop()
     assert images.shape[0] == 3 and tokens.shape[0] == 3
     assert calls == [4]  # padded to the sharding multiple
+
+
+def test_request_batcher_solo_request_is_cli_deterministic():
+    """A solo request must dispatch with ITS OWN seed at its own row count
+    (no power-of-2 bucketing, no composition-hash seed) so an unsharded
+    server reproduces the batch CLI exactly — 3 images seed 7 used to
+    dispatch generate(4, hash) and return different samples."""
+    from qaig_tpu.serve import RequestBatcher
+
+    calls = []
+
+    class FakePipe:
+        def generate(self, num, seed=0):
+            calls.append((num, seed))
+            return (np.zeros((num, 3, 2, 2), np.float32),
+                    np.zeros((num, 2), np.int32))
+
+    batcher = RequestBatcher(FakePipe(), max_batch=16, batch_multiple=1)
+    images, _ = batcher.submit(3, seed=7)
+    batcher.stop()
+    assert images.shape[0] == 3
+    assert calls == [(3, 7)]
+
+
+def test_request_batcher_max_batch_never_exceeded():
+    """max_batch is the operator's memory bound: it rounds DOWN to a mesh
+    multiple so no padded dispatch overshoots it (20 with batch_multiple=8
+    used to dispatch 24 rows)."""
+    import threading
+
+    from qaig_tpu.serve import RequestBatcher
+
+    calls = []
+
+    class FakePipe:
+        def generate(self, num, seed=0):
+            calls.append(num)
+            return (np.zeros((num, 3, 2, 2), np.float32),
+                    np.zeros((num, 2), np.int32))
+
+    batcher = RequestBatcher(FakePipe(), max_batch=20, batch_multiple=8)
+    assert batcher.max_batch == 16
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = batcher.submit(4 + i, seed=i)  # 4+5+6+7 = 22 rows
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batcher.stop()
+    for i, (images, _) in enumerate(results):
+        assert images.shape[0] == 4 + i
+    assert max(calls) <= 16, calls

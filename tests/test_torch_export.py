@@ -325,3 +325,53 @@ def test_adam_export_resume_matches_ours(rng):
         np.testing.assert_allclose(
             np.asarray(flatten_tree(params)[k], np.float32),
             np.asarray(v, np.float32), atol=1e-3, err_msg=k)
+
+
+def test_export_orbax_checkpoint_keeps_optimizer(tmp_path):
+    """export_torch.run on an ``.orbax`` checkpoint must carry the Adam
+    moments into the exported ``.pt`` (orbax restores the optimizer as a
+    flat dotted-path dict, which used to be silently dropped)."""
+    pytest.importorskip("orbax.checkpoint")
+    from qaig_tpu.utils.checkpoint import save_model
+    import export_torch
+
+    ours, params = _our_ae(seed=8)
+    optimizer = optim.make_adam(2e-4)
+    opt_state = optimizer.init(params)
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 3, 16, 16)),
+                    jnp.float32)
+    grads = jax.grad(
+        lambda p: jnp.mean((ours.apply(p, x) - x) ** 2))(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    from qaig_tpu.train.autoencoder import checkpoint_dict, build_autoencoder
+    cfg_dict = dict(AE_KW, hidden_activation_type="silu",
+                    use_final_enc_activation=True,
+                    encoder_activation_type="silu",
+                    use_final_dec_activation=True,
+                    decoder_activation_type="tanh", model_lr=2e-4)
+    _, cfg = build_autoencoder(cfg_dict)
+    ckpt = checkpoint_dict(cfg, params, opt_state)
+    assert save_model(ckpt, tmp_path, "ae.pt", backend="orbax")
+
+    out_pt = tmp_path / "exported_from_orbax.pt"
+    export_torch.run({
+        "model_path": tmp_path / "models_checkpoint" / "ae.pt.orbax",
+        "out_path": out_pt, "lr": 2e-4})
+
+    loaded = torch.load(out_pt, map_location="cpu", weights_only=False)
+    assert loaded["model_optimizer"] is not None
+    ref = _ref_ae()
+    ref_opt = torch.optim.Adam(ref.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    ref_opt.load_state_dict(loaded["model_optimizer"])
+    # the exported moments match the pickle-path export bit-for-bit
+    direct = tmp_path / "exported_direct.pt"
+    export_checkpoint(ours, ckpt, direct, opt_state=opt_state,
+                      learning_rate=2e-4)
+    want = torch.load(direct, map_location="cpu", weights_only=False)
+    for idx, st in want["model_optimizer"]["state"].items():
+        got = loaded["model_optimizer"]["state"][idx]
+        for key in ("step", "exp_avg", "exp_avg_sq"):
+            np.testing.assert_array_equal(np.asarray(got[key]),
+                                          np.asarray(st[key]))
