@@ -157,6 +157,40 @@ def test_generation_server_sharded_mesh(gen_config):
         server.stop()
 
 
+def test_generation_server_tensor_parallel_mesh(gen_config):
+    """--num-model-shards serving: pipeline on a data=4 x model=2 mesh
+    (stage transformers Megatron-sharded) matches the unsharded pipeline
+    token-for-token at the same seed."""
+    from qaig_tpu.infer.pipeline import CascadePipeline
+    from qaig_tpu.parallel.mesh import make_mesh
+    from qaig_tpu.serve import GenerationServer
+
+    assert len(jax.devices()) == 8  # conftest virtual CPU mesh
+    config, decoder_path = gen_config
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    pipe = CascadePipeline.from_config(config, decoder_path,
+                                       logging=lambda m: None, mesh=mesh)
+    # the transformer MLP weights must actually live model-sharded
+    stage = pipe.stages[0]
+    l0w = stage.params["decoder_layers"][0]["self_attn"]["attn"]["q"]["l0"]["w"]
+    assert not l0w.sharding.is_fully_replicated
+    server = GenerationServer(pipe, port=0, max_batch=32, batch_multiple=4)
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        status, out = _post(base + "/generate", {"num_images": 8, "seed": 11})
+        assert status == 200
+        tokens = np.asarray(out["tokens"])
+
+        plain = CascadePipeline.from_config(config, decoder_path,
+                                            logging=lambda m: None)
+        _, want = plain.generate(8, seed=11)
+        np.testing.assert_array_equal(tokens, np.asarray(want))
+    finally:
+        server.stop()
+
+
 def test_request_batcher_coalesces_concurrent_requests():
     """8 parallel 1-image requests merge into a couple of device dispatches
     (not 8 serialized full-latency calls) and every caller gets its rows."""
