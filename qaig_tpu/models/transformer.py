@@ -119,6 +119,14 @@ class Transformer:
             h = block(layer_params, h)
         return h
 
+    def embed_decoder(self, params, x_dec):
+        """Decoder token ids -> (N, Seq, D): embedding + sinusoidal
+        positions starting at 1 (reference ``Transformer.py:153-167``)."""
+        h = core.embedding_lookup(params["dec_embedding"], x_dec)
+        seq = h.shape[1]
+        pos = sinusoidal_pos_emb(self.cfg.in_dim, jnp.arange(1, seq + 1))
+        return h + pos[None].astype(h.dtype)
+
     def pos_cond_embedding(self, params, pos_cond):
         """(N, Seq) absolute patch positions -> (N, Seq, D) conditioning."""
         cfg = self.cfg
@@ -140,10 +148,7 @@ class Transformer:
         if cfg.use_encoder:
             enc_out = self.encode(params, x_enc)
 
-        h = core.embedding_lookup(params["dec_embedding"], x_dec)
-        seq = h.shape[1]
-        pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, seq + 1))
-        h = h + pos[None].astype(h.dtype)
+        h = self.embed_decoder(params, x_dec)
 
         pos_cond_emb = None
         if cfg.use_pos_cond:

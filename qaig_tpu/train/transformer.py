@@ -28,6 +28,7 @@ from qaig_tpu.data import FeatureMapDataset, DataLoader
 from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
 from qaig_tpu.models.transformer import Transformer, TransformerConfig
 from qaig_tpu.parallel import batch_sharding, shard_tree
+from qaig_tpu.parallel import pipeline
 from qaig_tpu.parallel.mesh import make_mesh_for_batch
 from qaig_tpu.parallel.sharding import (shard_opt_state,
                                         transformer_param_spec)
@@ -109,13 +110,19 @@ def sample_windows(rng, hr_input, hr_target, window):
 
 def make_train_step(model, optimizer, lr_codebook, hr_codebook,
                     train_base_model, lr_num_embeddings, hr_num_embeddings,
-                    sliding_window=None, bf16=False):
+                    sliding_window=None, bf16=False, pipeline_mesh=None,
+                    num_microbatches=None):
     """``bf16``: mixed-precision training — the forward/backward compute
     runs in bfloat16 (MXU-native) while master weights, gradients, Adam
     moments, and the loss stay float32.  BMU tokenization always runs in
     float32 so token assignments match the full-precision pipeline
     bit-for-bit.  Opt-in (``--bf16``); no reference equivalent (the
     reference trains fp32-only, ``train_quantized_transformer.py:490-508``).
+
+    ``pipeline_mesh``: a mesh with a ``pipe`` axis — the forward/backward
+    runs the decoder stack through the GPipe schedule of
+    ``qaig_tpu.parallel.pipeline`` (params carry ``decoder_layers`` in
+    stacked form, sharded over ``pipe``).  Opt-in (``--num-pipeline-stages``).
     """
     def step(params, opt_state, cb_params, batch, rng):
         lr_params, hr_params = cb_params
@@ -133,8 +140,13 @@ def make_train_step(model, optimizer, lr_codebook, hr_codebook,
         def loss_fn(p):
             if bf16:
                 p = common.cast_floats(p, jnp.bfloat16)
-            logits = model.apply(p, hr_input, x_enc=lr_input,
-                                 pos_cond=pos_cond)
+            if pipeline_mesh is not None:
+                logits = pipeline.pipelined_apply(
+                    model, p, hr_input, x_enc=lr_input, pos_cond=pos_cond,
+                    mesh=pipeline_mesh, num_microbatches=num_microbatches)
+            else:
+                logits = model.apply(p, hr_input, x_enc=lr_input,
+                                     pos_cond=pos_cond)
             losses = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32).reshape(-1, logits.shape[-1]),
                 hr_target.reshape(-1))
@@ -279,14 +291,38 @@ def run(args):
     # DP over the mesh's data axis; Megatron-style TP of every 2-layer MLP
     # over the model axis (--num-model-shards).  With one model shard the
     # spec degenerates to replicated, so the same code path always runs.
+    # --num-pipeline-stages instead partitions decoder LAYERS over a 'pipe'
+    # axis (GPipe microbatching, qaig_tpu.parallel.pipeline).
     n_model = int(args.get("num_model_shards") or 1)
+    n_pipe = int(args.get("num_pipeline_stages") or 1)
     if cfg.hidden_dim % n_model:
         raise ValueError(
             f"hidden_dim {cfg.hidden_dim} not divisible by "
             f"--num-model-shards {n_model}")
-    mesh = make_mesh_for_batch(batch_size, n_model=n_model)
+    num_microbatches = None
+    if n_pipe > 1:
+        if n_model > 1:
+            raise ValueError(
+                "--num-pipeline-stages cannot be combined with "
+                "--num-model-shards (pick tensor OR pipeline parallelism)")
+        if cfg.num_dec_layers % n_pipe:
+            raise ValueError(
+                f"num_dec_layers {cfg.num_dec_layers} not divisible by "
+                f"--num-pipeline-stages {n_pipe}")
+        num_microbatches = int(args.get("num_microbatches") or n_pipe)
+        if batch_size % num_microbatches:
+            raise ValueError(
+                f"batch size {batch_size} not divisible by "
+                f"--num-microbatches {num_microbatches}")
+        mesh = make_mesh_for_batch(batch_size // num_microbatches,
+                                   n_model=1, n_pipe=n_pipe)
+        params = pipeline.stack_params(params)
+        opt_state = pipeline.stack_params(opt_state)
+        param_spec = pipeline.pipeline_param_spec(params)
+    else:
+        mesh = make_mesh_for_batch(batch_size, n_model=n_model)
+        param_spec = transformer_param_spec(params)
     data_sharding = batch_sharding(mesh, ndim=4)
-    param_spec = transformer_param_spec(params)
     params = shard_tree(mesh, params, param_spec)
     opt_state = shard_opt_state(mesh, optimizer, opt_state, param_spec)
     lr_params = shard_tree(mesh, lr_params)
@@ -304,8 +340,17 @@ def run(args):
     train_step = make_train_step(
         model, optimizer, lr_codebook, hr_codebook, train_base_model,
         lr_num_embeddings, hr_num_embeddings, sliding_window,
-        bf16=bool(args.get("bf16")))
+        bf16=bool(args.get("bf16")),
+        pipeline_mesh=mesh if n_pipe > 1 else None,
+        num_microbatches=num_microbatches)
     engine = DecodeEngine(model)
+
+    def to_checkpoint_form(tree):
+        """Pipeline training stores decoder layers stacked/'pipe'-sharded;
+        checkpoints keep the reference's per-layer-list schema."""
+        if n_pipe > 1:
+            return pipeline.unstack_params(tree, cfg.num_dec_layers)
+        return tree
 
     quant_hr = jax.jit(lambda p, x: hr_codebook.apply(
         p, x, neighbourhood_range=hr_codebook.neighbourhood_range))
@@ -327,7 +372,10 @@ def run(args):
     log.info(f"High Res Num Embeddings: {hr_num_embeddings:,}")
     log.info("#" * 100)
     log.info("Transformer Parameters.")
-    log.info(f"Mesh: data={mesh.shape['data']} x model={mesh.shape['model']}")
+    log.info("Mesh: data={} x model={}{}".format(
+        mesh.shape["data"], mesh.shape["model"],
+        f" x pipe={mesh.shape['pipe']} (microbatches={num_microbatches})"
+        if n_pipe > 1 else ""))
     if use_sliding_window:
         log.info(f"Sliding Window: {sliding_window:,}")
     log.info(f"Num Decoder Embedding: {cfg.num_dec_embedding:,}")
@@ -373,8 +421,10 @@ def run(args):
                 # process touches the filesystem
                 ckpt = checkpoint_dict(cfg, config_dict, train_base_model,
                                        sliding_window, params, opt_state)
-                ckpt["model"] = common.model_state_dict(params)
-                ckpt["model_optimizer"] = common.gather_replicated(opt_state)
+                ckpt["model"] = common.model_state_dict(
+                    to_checkpoint_form(params))
+                ckpt["model_optimizer"] = common.gather_replicated(
+                    to_checkpoint_form(opt_state))
                 if common.is_main_process():
                     save_status = save_model(
                         ckpt, dest_path=out_dir,
@@ -406,8 +456,15 @@ def run(args):
                         logging=log.info)
 
                     rng, gen_rng = jax.random.split(rng)
+                    preview_params = params
+                    if n_pipe > 1:
+                        # the decode engine runs per-layer-list params
+                        # (replicated; PP is a training-scale feature)
+                        preview_params = shard_tree(
+                            mesh, to_checkpoint_form(params))
                     tokens = generate_preview_tokens(
-                        engine, params, test_fmap, lr_codebook, lr_params,
+                        engine, preview_params, test_fmap, lr_codebook,
+                        lr_params,
                         train_base_model, lr_num_embeddings,
                         hr_num_embeddings, total_hr_seq, temperature,
                         sliding_window, gen_rng)

@@ -1,0 +1,203 @@
+"""Pipeline parallelism (qaig_tpu/parallel/pipeline.py) on the virtual
+8-device CPU mesh.
+
+The GPipe-scheduled decoder stack must match the plain forward exactly —
+logits, grads, and whole train steps — and the stacked<->list param
+conversions must round-trip params and optimizer states (the checkpoint
+schema stays per-layer-list).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from qaig_tpu.models.codebook import Codebook
+from qaig_tpu.models.transformer import Transformer, TransformerConfig
+from qaig_tpu.parallel import pipeline
+from qaig_tpu.parallel.mesh import make_mesh
+from qaig_tpu.parallel.sharding import batch_sharding, shard_tree
+from qaig_tpu.train.optim import make_adam
+from qaig_tpu.train.transformer import make_train_step
+
+
+def _cascade_model(num_dec_layers=4):
+    cfg = TransformerConfig(
+        use_encoder=True, use_pos_cond=True, num_enc_layers=1,
+        num_dec_layers=num_dec_layers, num_enc_embedding=8,
+        num_dec_embedding=17, self_attn_heads=2, cross_attn_heads=2,
+        in_dim=16, out_dim=17, hidden_dim=32, hidden_activation="silu")
+    model = Transformer(cfg)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def _inputs(rng, n=8, seq=12):
+    x_dec = jnp.asarray(rng.integers(0, 17, (n, seq)), jnp.int32)
+    x_enc = jnp.asarray(rng.integers(0, 8, (n, 4)), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, seq + 1, (n, seq)), jnp.int32)
+    return x_dec, x_enc, pos
+
+
+def test_pipelined_apply_matches_apply(rng):
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    model, params = _cascade_model(num_dec_layers=4)
+    x_dec, x_enc, pos = _inputs(rng)
+    want = np.asarray(model.apply(params, x_dec, x_enc=x_enc, pos_cond=pos))
+
+    for n_data, n_pipe, mb in ((2, 4, 2), (2, 4, 4), (1, 2, 8)):
+        mesh = make_mesh(n_data=n_data, n_pipe=n_pipe)
+        got = jax.jit(lambda p: pipeline.pipelined_apply(
+            model, p, x_dec, x_enc=x_enc, pos_cond=pos, mesh=mesh,
+            num_microbatches=mb))(params)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5,
+                                   err_msg=f"mesh {n_data}x{n_pipe} M={mb}")
+
+
+def test_pipelined_apply_base_model(rng):
+    """Decoder-only (no encoder, no pos-cond) through the pipeline."""
+    cfg = TransformerConfig(
+        use_encoder=False, use_pos_cond=False, num_dec_layers=2,
+        num_dec_embedding=24, self_attn_heads=2, in_dim=16, out_dim=17,
+        hidden_dim=32, hidden_activation="silu")
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x_dec = jnp.asarray(rng.integers(0, 24, (8, 10)), jnp.int32)
+
+    want = np.asarray(model.apply(params, x_dec))
+    mesh = make_mesh(n_data=2, n_pipe=2)
+    got = jax.jit(lambda p: pipeline.pipelined_apply(
+        model, p, x_dec, mesh=mesh, num_microbatches=4))(params)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_pipelined_grads_match(rng):
+    """value_and_grad through the pipeline == plain path, for the stacked
+    stage-local layers AND the replicated embeddings/encoder/classifier
+    (whose cotangents shard_map's transpose must psum over 'pipe')."""
+    model, params = _cascade_model(num_dec_layers=4)
+    x_dec, x_enc, pos = _inputs(rng)
+    tgt = jnp.asarray(rng.integers(0, 17, x_dec.shape), jnp.int32)
+
+    def loss_from(logits):
+        return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            logits.reshape(-1, 17), tgt.reshape(-1)))
+
+    l0, g0 = jax.value_and_grad(
+        lambda p: loss_from(model.apply(p, x_dec, x_enc=x_enc,
+                                        pos_cond=pos)))(params)
+
+    mesh = make_mesh(n_data=2, n_pipe=4)
+    stacked = pipeline.stack_params(params)
+    l1, g1 = jax.jit(jax.value_and_grad(
+        lambda p: loss_from(pipeline.pipelined_apply(
+            model, p, x_dec, x_enc=x_enc, pos_cond=pos, mesh=mesh,
+            num_microbatches=2))))(stacked)
+
+    assert abs(float(l0) - float(l1)) < 1e-6
+    g1 = pipeline.unstack_params(g1, 4)
+    assert jax.tree_util.tree_structure(g0) == \
+        jax.tree_util.tree_structure(g1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6), g0, g1)
+
+
+def test_pp_train_step_matches_single_device(rng):
+    """Two full PP train steps (tokenize + window + fwd/bwd + Adam) must
+    match the unpipelined single-device result."""
+    lr_cb = Codebook(patch_dim=(8, 8), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=8, init_neighbour_range=4)
+    hr_cb = Codebook(patch_dim=(2, 2), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=16, init_neighbour_range=8)
+
+    def setup(mesh=None, mb=None):
+        cfg = TransformerConfig(
+            use_encoder=True, use_pos_cond=True, num_enc_layers=1,
+            num_dec_layers=2, num_enc_embedding=8, num_dec_embedding=17,
+            self_attn_heads=2, cross_attn_heads=2, in_dim=16, out_dim=17,
+            hidden_dim=32, hidden_activation="silu")
+        model = Transformer(cfg)
+        params = model.init(jax.random.PRNGKey(0))
+        optimizer = make_adam(1e-3, 100)
+        opt_state = optimizer.init(params)
+        if mesh is not None:
+            params = pipeline.stack_params(params)
+            opt_state = pipeline.stack_params(opt_state)
+        step = make_train_step(model, optimizer, lr_cb, hr_cb,
+                               train_base_model=False, lr_num_embeddings=8,
+                               hr_num_embeddings=16, sliding_window=8,
+                               pipeline_mesh=mesh, num_microbatches=mb)
+        return step, params, opt_state
+
+    batch = 8
+    fmap = jnp.asarray(rng.standard_normal((batch, 2, 8, 8)), jnp.float32)
+    lr_params = lr_cb.init(jax.random.PRNGKey(1))
+    hr_params = hr_cb.init(jax.random.PRNGKey(2))
+    keys = [jax.random.PRNGKey(3), jax.random.PRNGKey(4)]
+
+    step, params, opt_state = setup()
+    for k in keys:
+        params, opt_state, loss = step(params, opt_state,
+                                       (lr_params, hr_params), fmap, k)
+    ref_loss = float(loss)
+    ref_leaf = np.asarray(
+        params["decoder_layers"][1]["ffn"]["ff"]["l0"]["w"])
+    ref_cls = np.asarray(params["classifier"]["l0"]["w"])
+
+    mesh = make_mesh(n_data=2, n_pipe=2)
+    step_p, params_p, opt_p = setup(mesh=mesh, mb=2)
+    spec = pipeline.pipeline_param_spec(params_p)
+    params_p = shard_tree(mesh, params_p, spec)
+    fmap_s = jax.device_put(fmap, batch_sharding(mesh, ndim=4))
+    for k in keys:
+        params_p, opt_p, loss_p = step_p(params_p, opt_p,
+                                         (lr_params, hr_params), fmap_s, k)
+
+    # the stage-local layer stacks must actually live sharded over 'pipe'
+    stack_leaf = params_p["decoder_layers"]["ffn"]["ff"]["l0"]["w"]
+    assert not stack_leaf.sharding.is_fully_replicated
+
+    assert abs(float(loss_p) - ref_loss) < 1e-5
+    got = pipeline.unstack_params(params_p, 2)
+    np.testing.assert_allclose(
+        np.asarray(got["decoder_layers"][1]["ffn"]["ff"]["l0"]["w"]),
+        ref_leaf, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["classifier"]["l0"]["w"]),
+                               ref_cls, atol=1e-5)
+
+
+def test_stack_unstack_roundtrip_params_and_opt_state():
+    model, params = _cascade_model(num_dec_layers=4)
+    optimizer = make_adam(1e-3, 100)
+    opt_state = optimizer.init(params)
+
+    for tree in (params, opt_state):
+        stacked = pipeline.stack_params(tree)
+        back = pipeline.unstack_params(stacked, 4)
+        la = jax.tree_util.tree_leaves(tree)
+        lb = jax.tree_util.tree_leaves(back)
+        assert jax.tree_util.tree_structure(tree) == \
+            jax.tree_util.tree_structure(back)
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_validation_errors(rng):
+    model, params = _cascade_model(num_dec_layers=4)
+    x_dec, x_enc, pos = _inputs(rng)
+    mesh = make_mesh(n_data=2, n_pipe=2)
+
+    with pytest.raises(ValueError, match="not divisible by pipe"):
+        m3, p3 = _cascade_model(num_dec_layers=3)
+        pipeline.pipelined_apply(m3, p3, x_dec, x_enc=x_enc, pos_cond=pos,
+                                 mesh=mesh, num_microbatches=2)
+    with pytest.raises(ValueError, match="num_microbatches"):
+        pipeline.pipelined_apply(model, params, x_dec, x_enc=x_enc,
+                                 pos_cond=pos, mesh=mesh,
+                                 num_microbatches=3)
+    with pytest.raises(ValueError, match="data axis"):
+        pipeline.pipelined_apply(model, params, x_dec, x_enc=x_enc,
+                                 pos_cond=pos, mesh=mesh,
+                                 num_microbatches=8)

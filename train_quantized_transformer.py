@@ -60,6 +60,17 @@ def main():
     parser.add_argument("--num-model-shards", type=int, default=1,
                         help="Tensor-parallel shards over the mesh's model "
                              "axis (1 = pure data parallel).")
+    parser.add_argument("--num-pipeline-stages", type=int, default=1,
+                        help="Pipeline-parallel stages over the mesh's "
+                             "pipe axis: decoder layers are partitioned "
+                             "per stage and microbatches flow through a "
+                             "GPipe schedule (1 = off; exclusive with "
+                             "--num-model-shards).")
+    parser.add_argument("--num-microbatches", type=int, default=None,
+                        help="Microbatches per step under "
+                             "--num-pipeline-stages (default = the stage "
+                             "count; more microbatches shrink the pipeline "
+                             "bubble).")
     parser.add_argument("--checkpoint-backend",
                         choices=["pickle", "orbax", "orbax-async"],
                         default="pickle",
