@@ -168,6 +168,44 @@ def test_pp_train_step_matches_single_device(rng):
                                ref_cls, atol=1e-5)
 
 
+def test_pp_train_step_bf16(rng):
+    """Mixed precision composes with the pipeline: the bf16 PP step runs
+    and lands near the bf16 single-device loss."""
+    lr_cb = Codebook(patch_dim=(8, 8), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=8, init_neighbour_range=4)
+    hr_cb = Codebook(patch_dim=(2, 2), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=16, init_neighbour_range=8)
+    cfg = TransformerConfig(
+        use_encoder=True, use_pos_cond=False, num_enc_layers=1,
+        num_dec_layers=2, num_enc_embedding=8, num_dec_embedding=17,
+        self_attn_heads=2, cross_attn_heads=2, in_dim=16, out_dim=17,
+        hidden_dim=32, hidden_activation="silu")
+    model = Transformer(cfg)
+    optimizer = make_adam(1e-3, 100)
+    fmap = jnp.asarray(rng.standard_normal((8, 2, 8, 8)), jnp.float32)
+    lr_params = lr_cb.init(jax.random.PRNGKey(1))
+    hr_params = hr_cb.init(jax.random.PRNGKey(2))
+    key = jax.random.PRNGKey(3)
+
+    params = model.init(jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, lr_cb, hr_cb, False, 8, 16,
+                           bf16=True)
+    _, _, want = step(params, optimizer.init(params),
+                      (lr_params, hr_params), fmap, key)
+
+    mesh = make_mesh(n_data=2, n_pipe=2)
+    params = pipeline.stack_params(model.init(jax.random.PRNGKey(0)))
+    step_p = make_train_step(model, optimizer, lr_cb, hr_cb, False, 8, 16,
+                             bf16=True, pipeline_mesh=mesh,
+                             num_microbatches=2)
+    new_p, _, got = step_p(params, optimizer.init(params),
+                           (lr_params, hr_params), fmap, key)
+    assert np.isfinite(float(got))
+    # bf16 rounding differs with the reduction layout; stay loose
+    assert abs(float(got) - float(want)) < 5e-2
+    assert new_p["classifier"]["l0"]["w"].dtype == jnp.float32
+
+
 def test_stack_unstack_roundtrip_params_and_opt_state():
     model, params = _cascade_model(num_dec_layers=4)
     optimizer = make_adam(1e-3, 100)
