@@ -199,10 +199,7 @@ class Transformer:
         (last-position logits (N, out_dim), caches).
         """
         cfg = self.cfg
-        h = core.embedding_lookup(params["dec_embedding"], tokens)
-        p = h.shape[1]
-        pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, p + 1))
-        h = h + pos[None].astype(h.dtype)
+        h = self.embed_decoder(params, tokens)
 
         pos_cond_emb = None
         if cfg.use_pos_cond:
@@ -492,10 +489,8 @@ class Transformer:
         all-position logits, or (N, 1, out_dim) when ``last_only``.
         """
         cfg = self.cfg
-        h = core.embedding_lookup(params["dec_embedding"], tokens)
+        h = self.embed_decoder(params, tokens)
         seq = h.shape[1]
-        pos = sinusoidal_pos_emb(cfg.in_dim, jnp.arange(1, seq + 1))
-        h = h + pos[None].astype(h.dtype)
 
         pos_cond_emb = None
         if cfg.use_pos_cond:

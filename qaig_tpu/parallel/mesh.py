@@ -1,11 +1,14 @@
 """Device mesh construction.
 
 The reference is single-device (its ``--device`` flag allows only cpu/cuda,
-``train_autoencoder.py:30-34``); this framework scales through a 2-D
-``jax.sharding.Mesh`` with axes ``('data', 'model')``: batch sharded over
-``data`` (gradient psum over ICI inserted by XLA), transformer hidden dims
-optionally sharded over ``model`` (Megatron-style TP).  A 1x1 mesh reduces
-to the single-chip case, so every code path is mesh-aware.
+``train_autoencoder.py:30-34``); this framework scales through a
+``jax.sharding.Mesh`` with axes ``('data', 'model')`` — growing a third
+``pipe`` axis (``('data', 'pipe', 'model')``) under pipeline parallelism:
+batch sharded over ``data`` (gradient psum over ICI inserted by XLA),
+transformer hidden dims optionally sharded over ``model`` (Megatron-style
+TP), decoder layers optionally partitioned over ``pipe`` (GPipe,
+``qaig_tpu.parallel.pipeline``).  A 1x1 mesh reduces to the single-chip
+case, so every code path is mesh-aware.
 """
 
 import logging as _logging
@@ -55,10 +58,13 @@ def make_mesh_for_batch(batch_size, n_model=1, n_pipe=1, devices=None):
             n_data = d
     used = n_data * n_model * n_pipe
     if used < len(devices):
+        unit = "microbatch" if n_pipe > 1 else "batch"
+        shape = (f"{n_data}x{n_pipe}x{n_model}" if n_pipe > 1
+                 else f"{n_data}x{n_model}")
         _log.warning(
-            "Mesh %dx%d uses %d of %d devices (batch %d not divisible by "
-            "more); %d chips idle — pad the batch to a multiple of %d to "
-            "use them all.", n_data, n_model, used, len(devices),
-            batch_size, len(devices) - used, cap)
+            "Mesh %s uses %d of %d devices (%s %d not divisible by "
+            "more); %d chips idle — pad the %s to a multiple of %d to "
+            "use them all.", shape, used, len(devices), unit, batch_size,
+            len(devices) - used, unit, cap)
     return make_mesh(n_data=n_data, n_model=n_model, n_pipe=n_pipe,
                      devices=devices)

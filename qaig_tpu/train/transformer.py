@@ -299,6 +299,8 @@ def run(args):
         raise ValueError(
             f"hidden_dim {cfg.hidden_dim} not divisible by "
             f"--num-model-shards {n_model}")
+    if n_pipe < 1:
+        raise ValueError(f"--num-pipeline-stages must be >= 1, got {n_pipe}")
     num_microbatches = None
     if n_pipe > 1:
         if n_model > 1:
@@ -309,7 +311,11 @@ def run(args):
             raise ValueError(
                 f"num_dec_layers {cfg.num_dec_layers} not divisible by "
                 f"--num-pipeline-stages {n_pipe}")
-        num_microbatches = int(args.get("num_microbatches") or n_pipe)
+        raw_mb = args.get("num_microbatches")
+        if raw_mb is not None and int(raw_mb) < 1:
+            raise ValueError(
+                f"--num-microbatches must be >= 1, got {raw_mb}")
+        num_microbatches = int(raw_mb) if raw_mb is not None else n_pipe
         if batch_size % num_microbatches:
             raise ValueError(
                 f"batch size {batch_size} not divisible by "
@@ -421,8 +427,8 @@ def run(args):
                 # process touches the filesystem
                 ckpt = checkpoint_dict(cfg, config_dict, train_base_model,
                                        sliding_window, params, opt_state)
-                ckpt["model"] = common.model_state_dict(
-                    to_checkpoint_form(params))
+                params_ckpt_form = to_checkpoint_form(params)
+                ckpt["model"] = common.model_state_dict(params_ckpt_form)
                 ckpt["model_optimizer"] = common.gather_replicated(
                     to_checkpoint_form(opt_state))
                 if common.is_main_process():
@@ -460,8 +466,7 @@ def run(args):
                     if n_pipe > 1:
                         # the decode engine runs per-layer-list params
                         # (replicated; PP is a training-scale feature)
-                        preview_params = shard_tree(
-                            mesh, to_checkpoint_form(params))
+                        preview_params = shard_tree(mesh, params_ckpt_form)
                     tokens = generate_preview_tokens(
                         engine, preview_params, test_fmap, lr_codebook,
                         lr_params,
