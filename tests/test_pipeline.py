@@ -194,3 +194,32 @@ def test_full_pipeline(tmp_path):
     assert tokens16.shape == (2, 16)
     assert tokens16.min() >= 0 and tokens16.max() < 16
     assert (gen16_out / "images" / "recon_model_1.jpg").exists()
+
+    # -- quality eval CLI over the same artifacts ----------------------------
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "eval_quality",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "eval_quality.py"))
+    eval_quality = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(eval_quality)
+    import sys
+    argv = sys.argv
+    sys.argv = ["eval_quality.py", "--device", "cpu",
+                "--dataset-path", str(dataset_json),
+                "--model-path", str(ae_ckpt),
+                "--codebook-path", str(cb_c),
+                "--batch-size", "8", "--max-images", "12"]
+    try:
+        import io
+        from contextlib import redirect_stdout
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            eval_quality.main()
+    finally:
+        sys.argv = argv
+    report = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert report["num_images"] == 12
+    assert np.isfinite(report["psnr_recon_db"])
+    assert len(report["psnr_quantized_db"]) == 1
+    assert all(np.isfinite(v) for v in report["psnr_quantized_db"].values())
