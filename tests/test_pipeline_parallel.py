@@ -222,6 +222,74 @@ def test_stack_unstack_roundtrip_params_and_opt_state():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pp_resume_from_plain_checkpoint_matches(rng):
+    """The resume path run() uses under PP: train plain, round-trip params
+    AND Adam state through the checkpoint representation, stack, continue
+    pipelined — must equal training straight through unpipelined."""
+    from qaig_tpu.train import common
+
+    lr_cb = Codebook(patch_dim=(8, 8), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=8, init_neighbour_range=4)
+    hr_cb = Codebook(patch_dim=(2, 2), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=16, init_neighbour_range=8)
+    cfg = TransformerConfig(
+        use_encoder=True, use_pos_cond=False, num_enc_layers=1,
+        num_dec_layers=2, num_enc_embedding=8, num_dec_embedding=17,
+        self_attn_heads=2, cross_attn_heads=2, in_dim=16, out_dim=17,
+        hidden_dim=32, hidden_activation="silu")
+    model = Transformer(cfg)
+    optimizer = make_adam(1e-3, 100)
+    lr_params = lr_cb.init(jax.random.PRNGKey(1))
+    hr_params = hr_cb.init(jax.random.PRNGKey(2))
+    fmap = jnp.asarray(rng.standard_normal((8, 2, 8, 8)), jnp.float32)
+    keys = [jax.random.PRNGKey(k) for k in (3, 4, 5)]
+
+    def make(mesh=None, mb=None):
+        return make_train_step(model, optimizer, lr_cb, hr_cb, False, 8, 16,
+                               pipeline_mesh=mesh, num_microbatches=mb)
+
+    # straight through, unpipelined
+    step = make()
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    for k in keys:
+        params, opt_state, _ = step(params, opt_state,
+                                    (lr_params, hr_params), fmap, k)
+    want = np.asarray(params["decoder_layers"][1]["ffn"]["ff"]["l0"]["w"])
+
+    # 2 plain steps -> checkpoint round-trip -> stack -> 1 pipelined step
+    step = make()
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    for k in keys[:2]:
+        params, opt_state, _ = step(params, opt_state,
+                                    (lr_params, hr_params), fmap, k)
+    saved_model = common.model_state_dict(params)
+    saved_opt = common.gather_replicated(opt_state)
+
+    fresh = model.init(jax.random.PRNGKey(7))
+    restored = common.restore_model_state(model, fresh, saved_model,
+                                          logging=lambda *a: None)
+    restored_opt = common.restore_opt_state(
+        model, restored, optimizer.init(fresh), saved_opt,
+        logging=lambda *a: None)
+
+    mesh = make_mesh(n_data=2, n_pipe=2)
+    params_p = pipeline.stack_params(restored)
+    opt_p = pipeline.stack_params(restored_opt)
+    spec = pipeline.pipeline_param_spec(params_p)
+    params_p = shard_tree(mesh, params_p, spec)
+    step_p = make(mesh=mesh, mb=2)
+    params_p, _, _ = step_p(params_p, opt_p, (lr_params, hr_params),
+                            jax.device_put(fmap,
+                                           batch_sharding(mesh, ndim=4)),
+                            keys[2])
+    got = pipeline.unstack_params(params_p, 2)
+    np.testing.assert_allclose(
+        np.asarray(got["decoder_layers"][1]["ffn"]["ff"]["l0"]["w"]),
+        want, atol=1e-5)
+
+
 def test_pipeline_validation_errors(rng):
     model, params = _cascade_model(num_dec_layers=4)
     x_dec, x_enc, pos = _inputs(rng)
