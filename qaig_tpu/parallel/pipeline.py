@@ -86,14 +86,21 @@ def unstack_params(tree, num_layers):
 
 def pipeline_param_spec(params):
     """PartitionSpec tree for stacked-form params: decoder layer stacks are
-    sharded over ``pipe`` on their leading (layer) axis, everything else is
-    replicated.  (TP composition is rejected at the CLI — see
-    ``train/transformer.py``.)"""
+    sharded over ``pipe`` on their leading (layer) axis AND (composing with
+    tensor parallelism) Megatron-split over ``model`` on their MLP dims via
+    the same ``_mlp_rule`` the plain TP spec uses; non-decoder params keep
+    the ordinary TP spec.  With a size-1 model axis every ``model`` entry
+    degenerates to replicated, so one spec serves PP and PP×TP."""
+    from qaig_tpu.parallel.sharding import _mlp_rule
+
     flat = flatten_tree(params)
-    spec_flat = {
-        path: (P("pipe") if path.startswith("decoder_layers.") else P())
-        for path in flat
-    }
+    spec_flat = {}
+    for path in flat:
+        tp = _mlp_rule(path)
+        if path.startswith("decoder_layers."):
+            spec_flat[path] = P("pipe", *tp) if tp is not None else P("pipe")
+        else:
+            spec_flat[path] = tp if tp is not None else P()
     return unflatten_tree(spec_flat, like=params)
 
 
@@ -184,14 +191,25 @@ def pipelined_apply(model, params, x_dec, x_enc=None, pos_cond=None, *,
         # broadcasts it everywhere (and makes the output pipe-invariant)
         return lax.psum(out, "pipe")
 
+    # With TP active the shard_map is manual over ('data', 'pipe') only:
+    # the 'model' axis stays in GSPMD hands, so Megatron shardings on the
+    # stacked layer weights survive into the body and XLA inserts the
+    # per-MLP all-reduce there — PP and TP compose on one
+    # ('data', 'pipe', 'model') mesh.  Without TP all axes are manual
+    # (this toolchain's XLA:CPU aborts compiling some bf16 programs under
+    # partial-manual meshes with a size-1 auto axis, so partial-manual is
+    # reserved for when it buys something).
     act_spec = P(None, "data")
     pipe_specs = jax.tree_util.tree_map(lambda _: P("pipe"), stacked)
+    manual = ({"data", "pipe"} if mesh.shape.get("model", 1) > 1
+              else frozenset())
     h_out = jax.shard_map(
         body, mesh=mesh,
         in_specs=(pipe_specs, act_spec,
                   None if enc_mb is None else act_spec,
                   None if cond_mb is None else act_spec),
         out_specs=act_spec,
+        axis_names=manual,
         check_vma=False,
     )(stacked, h_mb, enc_mb, cond_mb)
 

@@ -48,18 +48,71 @@ def transformer_param_spec(params):
     return unflatten_tree(spec_flat, like=params)
 
 
-def shard_opt_state(mesh, optimizer, opt_state, param_spec):
+def zero_opt_spec(params, param_spec, n_data, axis="data"):
+    """ZeRO-1 PartitionSpec tree for optimizer moments: start from each
+    param's spec (so TP-sharded dims stay TP-sharded) and additionally
+    shard the LARGEST still-replicated dimension over ``axis``, provided
+    its size divides the axis length.  Leaves with no dividable dimension
+    keep their param spec (replicated moments) — correctness never depends
+    on a leaf being sharded.
+
+    This is the optimizer-state half of ZeRO (Rajbhandari et al. 2020)
+    expressed as pure GSPMD sharding: each data-parallel device holds and
+    updates 1/``n_data`` of every Adam moment; XLA turns the grad
+    all-reduce + moment update + param update into
+    reduce-scatter/sharded-update/all-gather from the annotations alone.
+    No reference equivalent (the reference is single-device,
+    ``train_autoencoder.py:133-136``)."""
+    flat_p = flatten_tree(params)
+    flat_s = flatten_tree(param_spec)
+    out = {}
+    for path, leaf in flat_p.items():
+        spec = list(flat_s[path]) if flat_s[path] else []
+        spec = spec + [None] * (leaf.ndim - len(spec))
+        free = [i for i in range(leaf.ndim) if spec[i] is None]
+        free.sort(key=lambda i: -leaf.shape[i])
+        for i in free:
+            if leaf.shape[i] % n_data == 0:
+                spec[i] = axis
+                break
+        out[path] = P(*spec)
+    return unflatten_tree(out, like=params)
+
+
+def shard_opt_state(mesh, optimizer, opt_state, param_spec,
+                    moment_spec=None):
     """Place optimizer state on the mesh with param-like leaves (Adam mu/nu)
     sharded exactly like their parameters and everything else (step counts)
-    replicated — so TP training never gathers first/second moments."""
+    replicated — so TP training never gathers first/second moments.
+
+    ``moment_spec`` (a pytree like ``param_spec``) overrides the placement
+    of the param-like leaves — used by ZeRO-1 (:func:`zero_opt_spec`) to
+    spread Adam moments over the data axis."""
     import optax
 
     def place(leaf, spec):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return optax.tree_map_params(
-        optimizer, place, opt_state, param_spec,
+        optimizer, place, opt_state,
+        moment_spec if moment_spec is not None else param_spec,
         transform_non_params=lambda leaf: place(leaf, P()))
+
+
+def constrain_opt_state(optimizer, opt_state, mesh, moment_spec):
+    """``with_sharding_constraint`` over an optimizer state inside jit:
+    param-like leaves pinned to ``moment_spec``, scalars replicated.
+    Keeps ZeRO-sharded Adam moments sharded across train-step outputs (XLA
+    would otherwise be free to replicate them)."""
+    import optax
+
+    def pin(leaf, spec):
+        return jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, spec))
+
+    return optax.tree_map_params(
+        optimizer, pin, opt_state, moment_spec,
+        transform_non_params=lambda leaf: pin(leaf, P()))
 
 
 def shard_tree(mesh, tree, spec_tree=None):

@@ -30,8 +30,10 @@ from qaig_tpu.models.transformer import Transformer, TransformerConfig
 from qaig_tpu.parallel import batch_sharding, shard_tree
 from qaig_tpu.parallel import pipeline
 from qaig_tpu.parallel.mesh import make_mesh_for_batch
-from qaig_tpu.parallel.sharding import (shard_opt_state,
-                                        transformer_param_spec)
+from qaig_tpu.parallel.sharding import (constrain_opt_state,
+                                        shard_opt_state,
+                                        transformer_param_spec,
+                                        zero_opt_spec)
 from qaig_tpu.train import common, optim
 from qaig_tpu.utils import save_model, load_model, save_images
 from qaig_tpu.utils.checkpoint import wait_pending_saves
@@ -111,7 +113,7 @@ def sample_windows(rng, hr_input, hr_target, window):
 def make_train_step(model, optimizer, lr_codebook, hr_codebook,
                     train_base_model, lr_num_embeddings, hr_num_embeddings,
                     sliding_window=None, bf16=False, pipeline_mesh=None,
-                    num_microbatches=None):
+                    num_microbatches=None, zero_shards=None):
     """``bf16``: mixed-precision training — the forward/backward compute
     runs in bfloat16 (MXU-native) while master weights, gradients, Adam
     moments, and the loss stay float32.  BMU tokenization always runs in
@@ -123,6 +125,12 @@ def make_train_step(model, optimizer, lr_codebook, hr_codebook,
     runs the decoder stack through the GPipe schedule of
     ``qaig_tpu.parallel.pipeline`` (params carry ``decoder_layers`` in
     stacked form, sharded over ``pipe``).  Opt-in (``--num-pipeline-stages``).
+
+    ``zero_shards``: ``(mesh, param_spec, moment_spec)`` — ZeRO-1: grads
+    are constrained to ``moment_spec`` (XLA reduce-scatters instead of
+    all-reducing), the Adam update runs on 1/data-axis of every moment,
+    and the updated params are constrained back to ``param_spec`` (one
+    all-gather).  Opt-in (``--zero-opt``).
     """
     def step(params, opt_state, cb_params, batch, rng):
         lr_params, hr_params = cb_params
@@ -153,8 +161,22 @@ def make_train_step(model, optimizer, lr_codebook, hr_codebook,
             return jnp.mean(losses)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        if zero_shards is not None:
+            z_mesh, z_param_spec, z_moment_spec = zero_shards
+
+            def pin(tree, spec_tree):
+                return jax.tree_util.tree_map(
+                    lambda x, s: jax.lax.with_sharding_constraint(
+                        x, jax.sharding.NamedSharding(z_mesh, s)),
+                    tree, spec_tree)
+
+            grads = pin(grads, z_moment_spec)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if zero_shards is not None:
+            params = pin(params, z_param_spec)
+            opt_state = constrain_opt_state(optimizer, opt_state, z_mesh,
+                                            z_moment_spec)
         return params, opt_state, loss
 
     return jax.jit(step, donate_argnums=(0, 1))
@@ -207,6 +229,54 @@ def generate_preview_tokens(engine, params, feature_map, lr_codebook,
     tokens = engine.generate(params, init, total_hr_seq, rng, settings,
                              x_enc=x_enc, sliding_window=sliding_window)
     return tokens - shift
+
+
+def validate_parallel_args(cfg, batch_size, args):
+    """Validate the --num-model-shards / --num-pipeline-stages /
+    --num-microbatches / --bf16 combination and return
+    ``(n_model, n_pipe, num_microbatches)`` (``num_microbatches`` is None
+    when pipelining is off)."""
+    n_model = int(args.get("num_model_shards") or 1)
+    n_pipe = int(args.get("num_pipeline_stages") or 1)
+    if cfg.hidden_dim % n_model:
+        raise ValueError(
+            f"hidden_dim {cfg.hidden_dim} not divisible by "
+            f"--num-model-shards {n_model}")
+    if n_pipe < 1:
+        raise ValueError(f"--num-pipeline-stages must be >= 1, got {n_pipe}")
+    num_microbatches = None
+    if n_pipe > 1:
+        if cfg.num_dec_layers % n_pipe:
+            raise ValueError(
+                f"num_dec_layers {cfg.num_dec_layers} not divisible by "
+                f"--num-pipeline-stages {n_pipe}")
+        raw_mb = args.get("num_microbatches")
+        if raw_mb is not None and int(raw_mb) < 1:
+            raise ValueError(
+                f"--num-microbatches must be >= 1, got {raw_mb}")
+        num_microbatches = int(raw_mb) if raw_mb is not None else n_pipe
+        if batch_size % num_microbatches:
+            raise ValueError(
+                f"batch size {batch_size} not divisible by "
+                f"--num-microbatches {num_microbatches}")
+        if n_model > 1 and args.get("bf16"):
+            # PP x TP uses a partially-manual shard_map ('model' left to
+            # GSPMD); this toolchain's XLA aborts the process promoting
+            # bf16 all-reduces under that layout (AllReducePromotion
+            # pass).  A ValueError beats a SIGABRT.
+            raise ValueError(
+                "--bf16 cannot be combined with both "
+                "--num-pipeline-stages and --num-model-shards: bf16 "
+                "all-reduces under the partially-manual PP x TP mesh hit "
+                "an XLA AllReducePromotion abort. Use fp32 for PP x TP, "
+                "or bf16 with PP or TP alone.")
+        if args.get("zero_opt"):
+            raise ValueError(
+                "--zero-opt cannot be combined with "
+                "--num-pipeline-stages (pipeline stages already shard "
+                "the decoder moments over 'pipe'; ZeRO over 'data' on "
+                "top is untested)")
+    return n_model, n_pipe, num_microbatches
 
 
 def run(args):
@@ -293,44 +363,25 @@ def run(args):
     # spec degenerates to replicated, so the same code path always runs.
     # --num-pipeline-stages instead partitions decoder LAYERS over a 'pipe'
     # axis (GPipe microbatching, qaig_tpu.parallel.pipeline).
-    n_model = int(args.get("num_model_shards") or 1)
-    n_pipe = int(args.get("num_pipeline_stages") or 1)
-    if cfg.hidden_dim % n_model:
-        raise ValueError(
-            f"hidden_dim {cfg.hidden_dim} not divisible by "
-            f"--num-model-shards {n_model}")
-    if n_pipe < 1:
-        raise ValueError(f"--num-pipeline-stages must be >= 1, got {n_pipe}")
-    num_microbatches = None
+    n_model, n_pipe, num_microbatches = validate_parallel_args(
+        cfg, batch_size, args)
     if n_pipe > 1:
-        if n_model > 1:
-            raise ValueError(
-                "--num-pipeline-stages cannot be combined with "
-                "--num-model-shards (pick tensor OR pipeline parallelism)")
-        if cfg.num_dec_layers % n_pipe:
-            raise ValueError(
-                f"num_dec_layers {cfg.num_dec_layers} not divisible by "
-                f"--num-pipeline-stages {n_pipe}")
-        raw_mb = args.get("num_microbatches")
-        if raw_mb is not None and int(raw_mb) < 1:
-            raise ValueError(
-                f"--num-microbatches must be >= 1, got {raw_mb}")
-        num_microbatches = int(raw_mb) if raw_mb is not None else n_pipe
-        if batch_size % num_microbatches:
-            raise ValueError(
-                f"batch size {batch_size} not divisible by "
-                f"--num-microbatches {num_microbatches}")
         mesh = make_mesh_for_batch(batch_size // num_microbatches,
-                                   n_model=1, n_pipe=n_pipe)
+                                   n_model=n_model, n_pipe=n_pipe)
         params = pipeline.stack_params(params)
         opt_state = pipeline.stack_params(opt_state)
         param_spec = pipeline.pipeline_param_spec(params)
     else:
         mesh = make_mesh_for_batch(batch_size, n_model=n_model)
         param_spec = transformer_param_spec(params)
+    # ZeRO-1 (--zero-opt): Adam moments additionally sharded over 'data'.
+    moment_spec = None
+    if args.get("zero_opt"):
+        moment_spec = zero_opt_spec(params, param_spec, mesh.shape["data"])
     data_sharding = batch_sharding(mesh, ndim=4)
     params = shard_tree(mesh, params, param_spec)
-    opt_state = shard_opt_state(mesh, optimizer, opt_state, param_spec)
+    opt_state = shard_opt_state(mesh, optimizer, opt_state, param_spec,
+                                moment_spec=moment_spec)
     lr_params = shard_tree(mesh, lr_params)
     hr_params = shard_tree(mesh, hr_params)
 
@@ -348,7 +399,9 @@ def run(args):
         lr_num_embeddings, hr_num_embeddings, sliding_window,
         bf16=bool(args.get("bf16")),
         pipeline_mesh=mesh if n_pipe > 1 else None,
-        num_microbatches=num_microbatches)
+        num_microbatches=num_microbatches,
+        zero_shards=((mesh, param_spec, moment_spec)
+                     if moment_spec is not None else None))
     engine = DecodeEngine(model)
 
     def to_checkpoint_form(tree):
@@ -378,10 +431,11 @@ def run(args):
     log.info(f"High Res Num Embeddings: {hr_num_embeddings:,}")
     log.info("#" * 100)
     log.info("Transformer Parameters.")
-    log.info("Mesh: data={} x model={}{}".format(
+    log.info("Mesh: data={} x model={}{}{}".format(
         mesh.shape["data"], mesh.shape["model"],
         f" x pipe={mesh.shape['pipe']} (microbatches={num_microbatches})"
-        if n_pipe > 1 else ""))
+        if n_pipe > 1 else "",
+        " | ZeRO-1 optimizer sharding" if moment_spec is not None else ""))
     if use_sliding_window:
         log.info(f"Sliding Window: {sliding_window:,}")
     log.info(f"Num Decoder Embedding: {cfg.num_dec_embedding:,}")

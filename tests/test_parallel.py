@@ -74,6 +74,72 @@ def test_dp_tp_matches_single_device(rng):
                                    err_msg=f"mesh {n_data}x{n_model}")
 
 
+def test_zero1_matches_single_device(rng):
+    """ZeRO-1 (--zero-opt): Adam moments sharded over 'data' (composing
+    with TP on the 4x2 mesh), grads reduce-scattered, params
+    all-gathered — must be step-exact vs the unsharded run, and the
+    moment leaves must actually live sharded."""
+    from qaig_tpu.parallel.sharding import (shard_opt_state, zero_opt_spec)
+
+    batch = 8
+    fmap = jnp.asarray(rng.standard_normal((batch, 2, 8, 8)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    step, params, opt_state, lr_params, hr_params = _setup()
+    ref_params, ref_opt, ref_loss = step(params, opt_state,
+                                         (lr_params, hr_params), fmap, key)
+    ref_loss = float(ref_loss)
+    ref_leaf = np.asarray(
+        ref_params["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"])
+    ref_mu = np.asarray(
+        ref_opt[0].mu["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"])
+
+    for n_data, n_model in ((8, 1), (4, 2)):
+        _, params_i, opt_i, lr_p, hr_p = _setup()
+        lr_cb = Codebook(patch_dim=(8, 8), image_dim=(8, 8), image_channel=2,
+                         num_embeddings=8, init_neighbour_range=4)
+        hr_cb = Codebook(patch_dim=(2, 2), image_dim=(8, 8), image_channel=2,
+                         num_embeddings=16, init_neighbour_range=8)
+        model = Transformer(TransformerConfig(
+            use_encoder=True, use_pos_cond=False, num_enc_layers=1,
+            num_dec_layers=2, num_enc_embedding=8, num_dec_embedding=17,
+            self_attn_heads=2, cross_attn_heads=2, in_dim=16, out_dim=17,
+            hidden_dim=32, hidden_activation="silu"))
+        optimizer = make_adam(1e-3, 100)
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        spec = transformer_param_spec(params_i)
+        mspec = zero_opt_spec(params_i, spec, n_data)
+        # the big MLP leaves must pick up a 'data' dim on top of TP
+        l0 = mspec["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"]
+        assert "data" in l0, l0
+        if n_model > 1:
+            assert "model" in l0, l0
+        params_s = shard_tree(mesh, params_i, spec)
+        opt_s = shard_opt_state(mesh, optimizer, opt_i, spec,
+                                moment_spec=mspec)
+        step_z = make_train_step(
+            model, optimizer, lr_cb, hr_cb, train_base_model=False,
+            lr_num_embeddings=8, hr_num_embeddings=16,
+            zero_shards=(mesh, spec, mspec))
+        lr_s = jax.device_put(lr_p, NamedSharding(mesh, P()))
+        hr_s = jax.device_put(hr_p, NamedSharding(mesh, P()))
+        fmap_s = jax.device_put(fmap, batch_sharding(mesh, ndim=4))
+        new_params, new_opt, loss = step_z(params_s, opt_s, (lr_s, hr_s),
+                                           fmap_s, key)
+        assert abs(float(loss) - ref_loss) < 1e-5, (n_data, n_model)
+        got_leaf = np.asarray(
+            new_params["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"])
+        np.testing.assert_allclose(got_leaf, ref_leaf, atol=1e-5,
+                                   err_msg=f"zero mesh {n_data}x{n_model}")
+        mu_leaf = new_opt[0].mu["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"]
+        # moments stay ZeRO-sharded across steps and match the reference
+        assert "data" in mu_leaf.sharding.spec, mu_leaf.sharding
+        shard_elems = np.prod(mu_leaf.addressable_shards[0].data.shape)
+        assert shard_elems <= np.prod(mu_leaf.shape) // n_data
+        np.testing.assert_allclose(np.asarray(mu_leaf), ref_mu, atol=1e-6,
+                                   err_msg=f"mu mesh {n_data}x{n_model}")
+
+
 def test_sliding_window_step_on_mesh(rng):
     """Windowed training step compiles and runs sharded."""
     step, params, opt_state, lr_params, hr_params = _setup(sliding_window=8)

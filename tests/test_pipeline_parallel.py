@@ -168,6 +168,106 @@ def test_pp_train_step_matches_single_device(rng):
                                ref_cls, atol=1e-5)
 
 
+def test_pp_tp_composed_train_step_matches_single_device(rng):
+    """PP x TP on one data=2 x pipe=2 x model=2 mesh: decoder stacks
+    'pipe'-sharded on the layer axis AND Megatron-'model'-sharded on their
+    MLP dims (the shard_map leaves 'model' to GSPMD).  Must reproduce the
+    unsharded train step."""
+    lr_cb = Codebook(patch_dim=(8, 8), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=8, init_neighbour_range=4)
+    hr_cb = Codebook(patch_dim=(2, 2), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=16, init_neighbour_range=8)
+    cfg = TransformerConfig(
+        use_encoder=True, use_pos_cond=True, num_enc_layers=1,
+        num_dec_layers=2, num_enc_embedding=8, num_dec_embedding=17,
+        self_attn_heads=2, cross_attn_heads=2, in_dim=16, out_dim=17,
+        hidden_dim=32, hidden_activation="silu")
+    model = Transformer(cfg)
+    optimizer = make_adam(1e-3, 100)
+    lr_params = lr_cb.init(jax.random.PRNGKey(1))
+    hr_params = hr_cb.init(jax.random.PRNGKey(2))
+    fmap = jnp.asarray(rng.standard_normal((8, 2, 8, 8)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    def make(mesh=None, mb=None):
+        return make_train_step(model, optimizer, lr_cb, hr_cb, False, 8, 16,
+                               sliding_window=8, pipeline_mesh=mesh,
+                               num_microbatches=mb)
+
+    params = model.init(jax.random.PRNGKey(0))
+    step = make()
+    ref_p, _, ref_loss = step(params, optimizer.init(params),
+                              (lr_params, hr_params), fmap, key)
+    want = np.asarray(ref_p["decoder_layers"][1]["ffn"]["ff"]["l0"]["w"])
+
+    mesh = make_mesh(n_data=2, n_pipe=2, n_model=2)
+    params_p = pipeline.stack_params(model.init(jax.random.PRNGKey(0)))
+    spec = pipeline.pipeline_param_spec(params_p)
+    # MLP leaves must be sharded over BOTH pipe and model
+    assert spec["decoder_layers"]["ffn"]["ff"]["l0"]["w"] == \
+        jax.sharding.PartitionSpec("pipe", None, "model")
+    params_p = shard_tree(mesh, params_p, spec)
+    from qaig_tpu.parallel.sharding import shard_opt_state
+    opt_p = shard_opt_state(mesh, optimizer,
+                            pipeline.stack_params(
+                                optimizer.init(model.init(
+                                    jax.random.PRNGKey(0)))), spec)
+    step_p = make(mesh=mesh, mb=2)
+    new_p, _, loss_p = step_p(params_p, opt_p, (lr_params, hr_params),
+                              jax.device_put(fmap,
+                                             batch_sharding(mesh, ndim=4)),
+                              key)
+    assert abs(float(loss_p) - float(ref_loss)) < 1e-5
+    got = pipeline.unstack_params(new_p, 2)
+    np.testing.assert_allclose(
+        np.asarray(got["decoder_layers"][1]["ffn"]["ff"]["l0"]["w"]),
+        want, atol=1e-5)
+
+
+def test_parallel_arg_validation():
+    """CLI flag validation for the PP/TP/bf16 combinations, including the
+    explicit rejection of bf16 + PP x TP (XLA aborts promoting bf16
+    all-reduces under the partially-manual mesh, so run() must raise a
+    ValueError before compiling)."""
+    from qaig_tpu.train.transformer import validate_parallel_args
+    cfg = TransformerConfig(
+        use_encoder=False, num_dec_layers=4, num_dec_embedding=17,
+        self_attn_heads=2, in_dim=16, out_dim=17, hidden_dim=32,
+        hidden_activation="silu")
+
+    assert validate_parallel_args(cfg, 8, {}) == (1, 1, None)
+    assert validate_parallel_args(
+        cfg, 8, {"num_pipeline_stages": 2}) == (1, 2, 2)
+    # PP x TP composes in fp32
+    assert validate_parallel_args(
+        cfg, 8, {"num_pipeline_stages": 2, "num_model_shards": 2,
+                 "num_microbatches": 4}) == (2, 2, 4)
+    # bf16 works with PP alone and TP alone
+    assert validate_parallel_args(
+        cfg, 8, {"num_pipeline_stages": 2, "bf16": True}) == (1, 2, 2)
+    assert validate_parallel_args(
+        cfg, 8, {"num_model_shards": 2, "bf16": True}) == (2, 1, None)
+
+    with pytest.raises(ValueError, match="bf16"):
+        validate_parallel_args(cfg, 8, {"num_pipeline_stages": 2,
+                                        "num_model_shards": 2, "bf16": True})
+    # ZeRO-1 shards moments over 'data'; PP already shards them over 'pipe'
+    with pytest.raises(ValueError, match="zero-opt"):
+        validate_parallel_args(cfg, 8, {"num_pipeline_stages": 2,
+                                        "zero_opt": True})
+    assert validate_parallel_args(
+        cfg, 8, {"num_model_shards": 2, "zero_opt": True}) == (2, 1, None)
+    with pytest.raises(ValueError, match="hidden_dim"):
+        validate_parallel_args(cfg, 8, {"num_model_shards": 3})
+    with pytest.raises(ValueError, match="num_dec_layers"):
+        validate_parallel_args(cfg, 8, {"num_pipeline_stages": 3})
+    with pytest.raises(ValueError, match="batch size"):
+        validate_parallel_args(cfg, 9, {"num_pipeline_stages": 2})
+    with pytest.raises(ValueError, match="num-microbatches"):
+        validate_parallel_args(cfg, 8, {"num_pipeline_stages": 2,
+                                        "num_microbatches": 0})
+
+
 def test_pp_train_step_bf16(rng):
     """Mixed precision composes with the pipeline: the bf16 PP step runs
     and lands near the bf16 single-device loss."""

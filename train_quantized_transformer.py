@@ -64,8 +64,15 @@ def main():
                         help="Pipeline-parallel stages over the mesh's "
                              "pipe axis: decoder layers are partitioned "
                              "per stage and microbatches flow through a "
-                             "GPipe schedule (1 = off; exclusive with "
-                             "--num-model-shards).")
+                             "GPipe schedule (1 = off; composes with "
+                             "--num-model-shards on a data x pipe x model "
+                             "mesh).")
+    parser.add_argument("--zero-opt", action="store_true",
+                        help="ZeRO-1: shard Adam moments over the data "
+                             "axis (each chip stores/updates 1/data of "
+                             "the optimizer state; grads reduce-scatter, "
+                             "params all-gather). Not combinable with "
+                             "--num-pipeline-stages.")
     parser.add_argument("--num-microbatches", type=int, default=None,
                         help="Microbatches per step under "
                              "--num-pipeline-stages (default = the stage "
