@@ -113,7 +113,8 @@ def sample_windows(rng, hr_input, hr_target, window):
 def make_train_step(model, optimizer, lr_codebook, hr_codebook,
                     train_base_model, lr_num_embeddings, hr_num_embeddings,
                     sliding_window=None, bf16=False, pipeline_mesh=None,
-                    num_microbatches=None, zero_shards=None):
+                    num_microbatches=None, zero_shards=None, grad_accum=1,
+                    accum_mesh=None):
     """``bf16``: mixed-precision training — the forward/backward compute
     runs in bfloat16 (MXU-native) while master weights, gradients, Adam
     moments, and the loss stay float32.  BMU tokenization always runs in
@@ -131,6 +132,13 @@ def make_train_step(model, optimizer, lr_codebook, hr_codebook,
     all-reducing), the Adam update runs on 1/data-axis of every moment,
     and the updated params are constrained back to ``param_spec`` (one
     all-gather).  Opt-in (``--zero-opt``).
+
+    ``grad_accum``: accumulate gradients over this many equal sequential
+    chunks of the batch (``lax.scan``), then apply ONE Adam update —
+    activation memory scales with the chunk, updates match the full-batch
+    step (equal-size chunks make mean-of-chunk-means == full mean).
+    ``accum_mesh`` keeps each chunk's batch axis sharded over ``data``
+    through the reshape.  Opt-in (``--grad-accum``).
     """
     def step(params, opt_state, cb_params, batch, rng):
         lr_params, hr_params = cb_params
@@ -145,22 +153,54 @@ def make_train_step(model, optimizer, lr_codebook, hr_codebook,
             hr_input, hr_target, pos_cond = sample_windows(
                 rng, hr_input, hr_target, sliding_window)
 
-        def loss_fn(p):
+        def loss_fn(p, hr_in, lr_in, pos_c, hr_tgt):
             if bf16:
                 p = common.cast_floats(p, jnp.bfloat16)
             if pipeline_mesh is not None:
                 logits = pipeline.pipelined_apply(
-                    model, p, hr_input, x_enc=lr_input, pos_cond=pos_cond,
+                    model, p, hr_in, x_enc=lr_in, pos_cond=pos_c,
                     mesh=pipeline_mesh, num_microbatches=num_microbatches)
             else:
-                logits = model.apply(p, hr_input, x_enc=lr_input,
-                                     pos_cond=pos_cond)
+                logits = model.apply(p, hr_in, x_enc=lr_in, pos_cond=pos_c)
             losses = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32).reshape(-1, logits.shape[-1]),
-                hr_target.reshape(-1))
+                hr_tgt.reshape(-1))
             return jnp.mean(losses)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        if grad_accum <= 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, hr_input, lr_input, pos_cond, hr_target)
+        else:
+            a = grad_accum
+
+            def chunk(x):
+                x = x.reshape((a, x.shape[0] // a) + x.shape[1:])
+                if accum_mesh is not None:
+                    x = jax.lax.with_sharding_constraint(
+                        x, jax.sharding.NamedSharding(
+                            accum_mesh, jax.sharding.PartitionSpec(
+                                None, "data")))
+                return x
+
+            xs = {"hr_in": chunk(hr_input), "hr_tgt": chunk(hr_target)}
+            if lr_input is not None:
+                xs["lr_in"] = chunk(lr_input)
+            if pos_cond is not None:
+                xs["pos"] = chunk(pos_cond)
+
+            def body(acc, x):
+                l, g = jax.value_and_grad(loss_fn)(
+                    params, x["hr_in"], x.get("lr_in"), x.get("pos"),
+                    x["hr_tgt"])
+                acc_l, acc_g = acc
+                return (acc_l + l, jax.tree_util.tree_map(
+                    jnp.add, acc_g, g)), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body, (jnp.zeros(()), zeros), xs)
+            loss = loss_sum / a
+            grads = jax.tree_util.tree_map(lambda g: g / a, grad_sum)
         if zero_shards is not None:
             z_mesh, z_param_spec, z_moment_spec = zero_shards
 
@@ -238,12 +278,26 @@ def validate_parallel_args(cfg, batch_size, args):
     when pipelining is off)."""
     n_model = int(args.get("num_model_shards") or 1)
     n_pipe = int(args.get("num_pipeline_stages") or 1)
+    raw_accum = args.get("grad_accum")
+    grad_accum = 1 if raw_accum is None else int(raw_accum)
     if cfg.hidden_dim % n_model:
         raise ValueError(
             f"hidden_dim {cfg.hidden_dim} not divisible by "
             f"--num-model-shards {n_model}")
     if n_pipe < 1:
         raise ValueError(f"--num-pipeline-stages must be >= 1, got {n_pipe}")
+    if grad_accum < 1:
+        raise ValueError(f"--grad-accum must be >= 1, got {grad_accum}")
+    if grad_accum > 1:
+        if batch_size % grad_accum:
+            raise ValueError(
+                f"batch size {batch_size} not divisible by "
+                f"--grad-accum {grad_accum}")
+        if n_pipe > 1:
+            raise ValueError(
+                "--grad-accum cannot be combined with "
+                "--num-pipeline-stages (the GPipe schedule already "
+                "microbatches; use --num-microbatches instead)")
     num_microbatches = None
     if n_pipe > 1:
         if cfg.num_dec_layers % n_pipe:
@@ -365,6 +419,7 @@ def run(args):
     # axis (GPipe microbatching, qaig_tpu.parallel.pipeline).
     n_model, n_pipe, num_microbatches = validate_parallel_args(
         cfg, batch_size, args)
+    grad_accum = int(args.get("grad_accum") or 1)
     if n_pipe > 1:
         mesh = make_mesh_for_batch(batch_size // num_microbatches,
                                    n_model=n_model, n_pipe=n_pipe)
@@ -372,7 +427,9 @@ def run(args):
         opt_state = pipeline.stack_params(opt_state)
         param_spec = pipeline.pipeline_param_spec(params)
     else:
-        mesh = make_mesh_for_batch(batch_size, n_model=n_model)
+        # --grad-accum: the mesh only ever sees one chunk at a time
+        mesh = make_mesh_for_batch(batch_size // grad_accum,
+                                   n_model=n_model)
         param_spec = transformer_param_spec(params)
     # ZeRO-1 (--zero-opt): Adam moments additionally sharded over 'data'.
     moment_spec = None
@@ -401,7 +458,9 @@ def run(args):
         pipeline_mesh=mesh if n_pipe > 1 else None,
         num_microbatches=num_microbatches,
         zero_shards=((mesh, param_spec, moment_spec)
-                     if moment_spec is not None else None))
+                     if moment_spec is not None else None),
+        grad_accum=grad_accum,
+        accum_mesh=mesh if grad_accum > 1 else None)
     engine = DecodeEngine(model)
 
     def to_checkpoint_form(tree):
@@ -431,11 +490,12 @@ def run(args):
     log.info(f"High Res Num Embeddings: {hr_num_embeddings:,}")
     log.info("#" * 100)
     log.info("Transformer Parameters.")
-    log.info("Mesh: data={} x model={}{}{}".format(
+    log.info("Mesh: data={} x model={}{}{}{}".format(
         mesh.shape["data"], mesh.shape["model"],
         f" x pipe={mesh.shape['pipe']} (microbatches={num_microbatches})"
         if n_pipe > 1 else "",
-        " | ZeRO-1 optimizer sharding" if moment_spec is not None else ""))
+        " | ZeRO-1 optimizer sharding" if moment_spec is not None else "",
+        f" | grad-accum {grad_accum}" if grad_accum > 1 else ""))
     if use_sliding_window:
         log.info(f"Sliding Window: {sliding_window:,}")
     log.info(f"Num Decoder Embedding: {cfg.num_dec_embedding:,}")

@@ -140,6 +140,79 @@ def test_zero1_matches_single_device(rng):
                                    err_msg=f"mu mesh {n_data}x{n_model}")
 
 
+def test_grad_accum_matches_full_batch(rng):
+    """--grad-accum: N sequential chunks + one Adam update must reproduce
+    the full-batch step (equal chunks make mean-of-means == full mean),
+    both single-device and with the chunk batch sharded over 'data'."""
+    batch = 8
+    fmap = jnp.asarray(rng.standard_normal((batch, 2, 8, 8)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    step, params, opt_state, lr_params, hr_params = _setup()
+    ref_params, _, ref_loss = step(params, opt_state,
+                                   (lr_params, hr_params), fmap, key)
+    ref_loss = float(ref_loss)
+    ref_leaf = np.asarray(
+        ref_params["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"])
+
+    def make(accum, mesh=None, sliding_window=None):
+        lr_cb = Codebook(patch_dim=(8, 8), image_dim=(8, 8), image_channel=2,
+                         num_embeddings=8, init_neighbour_range=4)
+        hr_cb = Codebook(patch_dim=(2, 2), image_dim=(8, 8), image_channel=2,
+                         num_embeddings=16, init_neighbour_range=8)
+        model = Transformer(TransformerConfig(
+            use_encoder=True, use_pos_cond=sliding_window is not None,
+            num_enc_layers=1, num_dec_layers=2, num_enc_embedding=8,
+            num_dec_embedding=17, self_attn_heads=2, cross_attn_heads=2,
+            in_dim=16, out_dim=17, hidden_dim=32, hidden_activation="silu"))
+        optimizer = make_adam(1e-3, 100)
+        step_a = make_train_step(
+            model, optimizer, lr_cb, hr_cb, train_base_model=False,
+            lr_num_embeddings=8, hr_num_embeddings=16,
+            sliding_window=sliding_window, grad_accum=accum,
+            accum_mesh=mesh)
+        return (step_a, model.init(jax.random.PRNGKey(0)),
+                optimizer.init(model.init(jax.random.PRNGKey(0))))
+
+    # single-device, accum over 2 and 4 chunks
+    for accum in (2, 4):
+        step_a, params_a, opt_a = make(accum)
+        new_p, _, loss = step_a(params_a, opt_a, (lr_params, hr_params),
+                                fmap, key)
+        assert abs(float(loss) - ref_loss) < 1e-5, accum
+        np.testing.assert_allclose(
+            np.asarray(new_p["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"]),
+            ref_leaf, atol=1e-5, err_msg=f"accum={accum}")
+
+    # sharded: 4-chunk accumulation, each 2-sample chunk over a data=2 mesh
+    mesh = make_mesh(n_data=2, n_model=2)
+    step_a, params_a, opt_a = make(4, mesh=mesh)
+    spec = transformer_param_spec(params_a)
+    params_s = shard_tree(mesh, params_a, spec)
+    opt_s = jax.device_put(opt_a, NamedSharding(mesh, P()))
+    lr_s = jax.device_put(lr_params, NamedSharding(mesh, P()))
+    hr_s = jax.device_put(hr_params, NamedSharding(mesh, P()))
+    fmap_s = jax.device_put(fmap, batch_sharding(mesh, ndim=4))
+    new_p, _, loss = step_a(params_s, opt_s, (lr_s, hr_s), fmap_s, key)
+    assert abs(float(loss) - ref_loss) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(new_p["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"]),
+        ref_leaf, atol=1e-5, err_msg="sharded accum")
+
+    # sliding-window path: windows drawn on the FULL batch before
+    # chunking, so accumulation must still match the full-batch windowed
+    # step bit-for-bit
+    step_w, params_w, opt_w, lr_w, hr_w = _setup(sliding_window=8)
+    ref_wp, _, ref_wloss = step_w(params_w, opt_w, (lr_w, hr_w), fmap, key)
+    step_wa, params_wa, opt_wa = make(2, sliding_window=8)
+    new_wp, _, wloss = step_wa(params_wa, opt_wa, (lr_w, hr_w), fmap, key)
+    assert abs(float(wloss) - float(ref_wloss)) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(new_wp["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"]),
+        np.asarray(ref_wp["decoder_layers"][0]["ffn"]["ff"]["l0"]["w"]),
+        atol=1e-5, err_msg="windowed accum")
+
+
 def test_sliding_window_step_on_mesh(rng):
     """Windowed training step compiles and runs sharded."""
     step, params, opt_state, lr_params, hr_params = _setup(sliding_window=8)

@@ -257,6 +257,16 @@ def test_parallel_arg_validation():
                                         "zero_opt": True})
     assert validate_parallel_args(
         cfg, 8, {"num_model_shards": 2, "zero_opt": True}) == (2, 1, None)
+    # grad accumulation: must divide the batch; GPipe already microbatches
+    assert validate_parallel_args(
+        cfg, 8, {"grad_accum": 4, "num_model_shards": 2}) == (2, 1, None)
+    with pytest.raises(ValueError, match="grad-accum"):
+        validate_parallel_args(cfg, 9, {"grad_accum": 4})
+    with pytest.raises(ValueError, match="grad-accum"):
+        validate_parallel_args(cfg, 8, {"grad_accum": 2,
+                                        "num_pipeline_stages": 2})
+    with pytest.raises(ValueError, match="grad-accum"):
+        validate_parallel_args(cfg, 8, {"grad_accum": 0})
     with pytest.raises(ValueError, match="hidden_dim"):
         validate_parallel_args(cfg, 8, {"num_model_shards": 3})
     with pytest.raises(ValueError, match="num_dec_layers"):

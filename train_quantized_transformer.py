@@ -67,6 +67,12 @@ def main():
                              "GPipe schedule (1 = off; composes with "
                              "--num-model-shards on a data x pipe x model "
                              "mesh).")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="Accumulate gradients over N equal chunks of "
+                             "the batch before one Adam update (activation "
+                             "memory scales with batch/N; updates match "
+                             "the full-batch step). Not combinable with "
+                             "--num-pipeline-stages.")
     parser.add_argument("--zero-opt", action="store_true",
                         help="ZeRO-1: shard Adam moments over the data "
                              "axis (each chip stores/updates 1/data of "
