@@ -49,22 +49,67 @@ def build_autoencoder(config_dict):
     return Autoencoder(cfg), cfg
 
 
-def make_train_step(model, optimizer, bf16=False):
+def make_train_step(model, optimizer, bf16=False, grad_accum=1,
+                    accum_mesh=None, zero_shards=None):
     """``bf16``: conv forward/backward in bfloat16, master weights /
     gradients / Adam moments / loss in float32 (opt-in mixed precision —
-    the reference trains fp32-only)."""
+    the reference trains fp32-only).
+
+    ``grad_accum``/``accum_mesh``/``zero_shards``: same contracts as the
+    transformer stage (``train/transformer.py::make_train_step``) —
+    ``lax.scan`` gradient accumulation over equal batch chunks, and
+    ZeRO-1 moment sharding via ``(mesh, param_spec, moment_spec)``."""
     def step(params, opt_state, batch):
-        def loss_fn(p):
+        def loss_fn(p, b):
             if bf16:
                 p = common.cast_floats(p, jnp.bfloat16)
-                recon = model.apply(p, batch.astype(jnp.bfloat16))
+                recon = model.apply(p, b.astype(jnp.bfloat16))
                 recon = recon.astype(jnp.float32)
             else:
-                recon = model.apply(p, batch)
-            return jnp.mean((recon - batch) ** 2)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+                recon = model.apply(p, b)
+            return jnp.mean((recon - b) ** 2)
+
+        if grad_accum <= 1:
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        else:
+            a = grad_accum
+            chunks = batch.reshape((a, batch.shape[0] // a)
+                                   + batch.shape[1:])
+            if accum_mesh is not None:
+                chunks = jax.lax.with_sharding_constraint(
+                    chunks, jax.sharding.NamedSharding(
+                        accum_mesh,
+                        jax.sharding.PartitionSpec(None, "data")))
+
+            def body(acc, b):
+                l, g = jax.value_and_grad(loss_fn)(params, b)
+                acc_l, acc_g = acc
+                return (acc_l + l,
+                        jax.tree_util.tree_map(jnp.add, acc_g, g)), None
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body, (jnp.zeros(()), zeros), chunks)
+            loss = loss_sum / a
+            grads = jax.tree_util.tree_map(lambda g: g / a, grad_sum)
+
+        if zero_shards is not None:
+            z_mesh, z_param_spec, z_moment_spec = zero_shards
+
+            def pin(tree, spec_tree):
+                return jax.tree_util.tree_map(
+                    lambda x, s: jax.lax.with_sharding_constraint(
+                        x, jax.sharding.NamedSharding(z_mesh, s)),
+                    tree, spec_tree)
+
+            grads = pin(grads, z_moment_spec)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if zero_shards is not None:
+            from qaig_tpu.parallel.sharding import constrain_opt_state
+            params = pin(params, z_param_spec)
+            opt_state = constrain_opt_state(optimizer, opt_state, z_mesh,
+                                            z_moment_spec)
         return params, opt_state, loss
     return jax.jit(step, donate_argnums=(0, 1))
 
@@ -127,14 +172,40 @@ def run(args):
             except Exception as e:
                 log.info(f"Could not restore optimizer state: {e}")
 
+    raw_accum = args.get("grad_accum")
+    grad_accum = 1 if raw_accum is None else int(raw_accum)
+    if grad_accum < 1:
+        raise ValueError(f"--grad-accum must be >= 1, got {grad_accum}")
+    if batch_size % grad_accum:
+        raise ValueError(
+            f"batch size {batch_size} not divisible by "
+            f"--grad-accum {grad_accum}")
+
     # Conv nets carry no tensor-parallel spec; --num-model-shards still
     # shapes the mesh (data axis shrinks) so mixed-stage pipelines can run
-    # every stage on the same mesh geometry.
-    mesh = make_mesh_for_batch(batch_size,
+    # every stage on the same mesh geometry.  --grad-accum: the mesh only
+    # ever sees one chunk at a time.
+    mesh = make_mesh_for_batch(batch_size // grad_accum,
                                n_model=int(args.get("num_model_shards") or 1))
     data_sharding = batch_sharding(mesh, ndim=4)
-    params = shard_tree(mesh, params)
-    opt_state = shard_tree(mesh, opt_state)
+    # ZeRO-1 (--zero-opt): Adam moments sharded over 'data' (conv params
+    # themselves stay replicated — there is no conv TP spec).
+    moment_spec = None
+    if args.get("zero_opt"):
+        from jax.sharding import PartitionSpec as P
+        from qaig_tpu.parallel.sharding import (shard_opt_state,
+                                                zero_opt_spec)
+        param_spec = jax.tree_util.tree_map(lambda _: P(), params)
+        moment_spec = zero_opt_spec(params, param_spec,
+                                    mesh.shape["data"])
+        params = shard_tree(mesh, params)
+        opt_state = shard_opt_state(mesh, optimizer, opt_state, param_spec,
+                                    moment_spec=moment_spec)
+        zero_shards = (mesh, param_spec, moment_spec)
+    else:
+        params = shard_tree(mesh, params)
+        opt_state = shard_tree(mesh, opt_state)
+        zero_shards = None
 
     dataset = ImageDataset(args["dataset_path"])
     loader = DataLoader(dataset, batch_size=batch_size,
@@ -143,7 +214,11 @@ def run(args):
                         process_count=jax.process_count())
 
     train_step = make_train_step(model, optimizer,
-                                 bf16=bool(args.get("bf16")))
+                                 bf16=bool(args.get("bf16")),
+                                 grad_accum=grad_accum,
+                                 accum_mesh=(mesh if grad_accum > 1
+                                             else None),
+                                 zero_shards=zero_shards)
 
     n_params = sum(int(np.prod(l.shape))
                    for l in jax.tree_util.tree_leaves(params))
@@ -160,6 +235,10 @@ def run(args):
     log.info(f"Hidden activation type: {cfg.hidden_activation_type}")
     log.info("#" * 100)
     log.info("Training Parameters.")
+    log.info("Mesh: data={} x model={}{}{}".format(
+        mesh.shape["data"], mesh.shape["model"],
+        " | ZeRO-1 optimizer sharding" if moment_spec is not None else "",
+        f" | grad-accum {grad_accum}" if grad_accum > 1 else ""))
     log.info(f"Max Epoch: {max_epoch:,}")
     log.info(f"Batch Size: {batch_size:,}")
     log.info(f"Model LR Update size: {lr_update_step:,}")

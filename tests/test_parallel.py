@@ -213,6 +213,49 @@ def test_grad_accum_matches_full_batch(rng):
         atol=1e-5, err_msg="windowed accum")
 
 
+def test_autoencoder_grad_accum_zero_matches(rng):
+    """The AE stage's --grad-accum / --zero-opt combination must match the
+    plain single-device step (same contracts as the transformer stage)."""
+    from qaig_tpu.models.conv_nets import Autoencoder, AutoencoderConfig
+    from qaig_tpu.parallel.sharding import shard_opt_state, zero_opt_spec
+    from qaig_tpu.train import autoencoder as ae_stage
+
+    cfg = AutoencoderConfig(
+        num_layers=1, image_channel=3, min_channel=8, max_channel=16,
+        latent_channel=2, hidden_activation_type="silu",
+        use_final_enc_activation=True, encoder_activation_type="tanh",
+        use_final_dec_activation=True, decoder_activation_type="tanh")
+    model = Autoencoder(cfg)
+    optimizer = make_adam(1e-3, 100)
+    batch = jnp.asarray(rng.uniform(-1, 1, (8, 3, 8, 8)), jnp.float32)
+
+    params = model.init(jax.random.PRNGKey(0))
+    step = ae_stage.make_train_step(model, optimizer)
+    ref_p, _, ref_loss = step(params, optimizer.init(params), batch)
+    ref_leaf = np.asarray(jax.tree_util.tree_leaves(ref_p)[0])
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    params_z = model.init(jax.random.PRNGKey(0))
+    pspec = jax.tree_util.tree_map(lambda _: P(), params_z)
+    mspec = zero_opt_spec(params_z, pspec, 4)
+    params_s = shard_tree(mesh, params_z)
+    opt_s = shard_opt_state(mesh, optimizer, optimizer.init(params_z),
+                            pspec, moment_spec=mspec)
+    step_z = ae_stage.make_train_step(
+        model, optimizer, grad_accum=2, accum_mesh=mesh,
+        zero_shards=(mesh, pspec, mspec))
+    new_p, new_opt, loss = step_z(
+        params_s, opt_s, jax.device_put(batch, batch_sharding(mesh, ndim=4)))
+    assert abs(float(loss) - float(ref_loss)) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(new_p)[0]), ref_leaf,
+        atol=1e-5)
+    # at least one moment leaf must be data-sharded
+    mu_leaves = jax.tree_util.tree_leaves(new_opt[0].mu)
+    assert any("data" in l.sharding.spec for l in mu_leaves
+               if hasattr(l.sharding, "spec"))
+
+
 def test_sliding_window_step_on_mesh(rng):
     """Windowed training step compiles and runs sharded."""
     step, params, opt_state, lr_params, hr_params = _setup(sliding_window=8)

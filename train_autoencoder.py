@@ -42,6 +42,15 @@ def main():
     parser.add_argument("--num-model-shards", type=int, default=1,
                         help="Tensor-parallel shards over the mesh's model "
                              "axis (1 = pure data parallel).")
+    parser.add_argument("--grad-accum", type=int, default=1,
+                        help="Accumulate gradients over N equal chunks of "
+                             "the batch before one Adam update (activation "
+                             "memory scales with batch/N; updates match "
+                             "the full-batch step).")
+    parser.add_argument("--zero-opt", action="store_true",
+                        help="ZeRO-1: shard Adam moments over the data "
+                             "axis (each chip stores/updates 1/data of "
+                             "the optimizer state).")
     parser.add_argument("--checkpoint-backend",
                         choices=["pickle", "orbax", "orbax-async"],
                         default="pickle",
