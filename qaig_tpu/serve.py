@@ -23,6 +23,9 @@ padded dispatch exceeds the operator's memory bound.
 Endpoints
 ---------
 ``GET /healthz``                           liveness -> ``{"status": "ok"}``
+``GET /metrics``                           serving counters: requests/images/
+    errors totals, dispatch counts (+how many were coalesced), padded-row
+    waste, dispatch latency (last/mean/max), queue depth, uptime
 ``POST /generate`` ``{"num_images": N, "seed": S, "return_images": bool}``
     -> ``{"tokens": [[...]], "shape": [...], "images_png_b64": [...]}``
     (images rendered per-sample as PNG, base64; omitted unless requested)
@@ -35,6 +38,7 @@ import base64
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -74,8 +78,27 @@ class RequestBatcher:
         self._cv = threading.Condition()
         self._pending = []
         self._stop = False
+        # observability counters (read under _cv via metrics())
+        self._stats = {
+            "requests_total": 0, "images_total": 0, "errors_total": 0,
+            "dispatches_total": 0, "coalesced_dispatches_total": 0,
+            "padded_rows_total": 0, "dispatch_seconds_total": 0.0,
+            "last_dispatch_seconds": 0.0, "max_dispatch_seconds": 0.0,
+        }
+        self._started = time.monotonic()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def metrics(self):
+        """Snapshot of the serving counters (plus queue depth + uptime)."""
+        with self._cv:
+            snap = dict(self._stats)
+            snap["queue_depth"] = len(self._pending)
+        snap["uptime_seconds"] = round(time.monotonic() - self._started, 3)
+        n = max(snap["dispatches_total"], 1)
+        snap["mean_dispatch_seconds"] = round(
+            snap["dispatch_seconds_total"] / n, 4)
+        return snap
 
     def _bucket(self, total):
         cap = self.batch_multiple
@@ -132,6 +155,8 @@ class RequestBatcher:
                 for req in batch:
                     seed = (seed * 1000003 + req["num"] * 31
                             + req["seed"]) % (2 ** 31 - 1)
+            t0 = time.monotonic()
+            failed = False
             try:
                 images, tokens = self.pipeline.generate(padded, seed=seed)
                 images, tokens = np.asarray(images), np.asarray(tokens)
@@ -141,8 +166,25 @@ class RequestBatcher:
                                      tokens[offset:offset + req["num"]])
                     offset += req["num"]
             except Exception as e:
+                failed = True
                 for req in batch:
                     req["error"] = e
+            dt = time.monotonic() - t0
+            with self._cv:
+                s = self._stats
+                s["requests_total"] += len(batch)
+                s["dispatches_total"] += 1
+                if len(batch) > 1:
+                    s["coalesced_dispatches_total"] += 1
+                s["padded_rows_total"] += padded - total
+                s["dispatch_seconds_total"] += dt
+                s["last_dispatch_seconds"] = round(dt, 4)
+                s["max_dispatch_seconds"] = max(s["max_dispatch_seconds"],
+                                                round(dt, 4))
+                if failed:
+                    s["errors_total"] += len(batch)
+                else:
+                    s["images_total"] += total
             for req in batch:
                 req["event"].set()
 
@@ -187,6 +229,8 @@ class GenerationServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(200, {"status": "ok"})
+                elif self.path == "/metrics":
+                    self._reply(200, server.batcher.metrics())
                 else:
                     self._reply(404, {"error": "not found"})
 

@@ -112,6 +112,20 @@ def test_generation_server_end_to_end(gen_config):
             assert e.code == 400
         status, _ = _post(base + "/generate", {"num_images": 1})
         assert status == 200
+
+        # observability: /metrics reflects the traffic above
+        with urllib.request.urlopen(base + "/metrics") as resp:
+            assert resp.status == 200
+            m = json.loads(resp.read())
+        # three requests reached the device (the 99-image one was a 400)
+        assert m["requests_total"] == 3
+        assert m["images_total"] == 2 + 2 + 1
+        assert m["dispatches_total"] == 3
+        assert m["errors_total"] == 0  # the 400 never reached the device
+        assert m["dispatch_seconds_total"] > 0
+        assert m["mean_dispatch_seconds"] > 0
+        assert m["uptime_seconds"] > 0
+        assert m["queue_depth"] == 0
     finally:
         server.stop()
 
