@@ -19,6 +19,10 @@ def main():
     parser.add_argument("--bf16", action="store_true",
                         help="Serving precision: run the cascade in bfloat16 "
                              "(fp32 reference numerics stay the default).")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="Generate with the EMA weights (model_ema, "
+                             "written by training under --ema-decay; falls "
+                             "back to live weights with a log line).")
     parser.add_argument("--profile-dir", default=None, type=pathlib.Path,
                         help="Capture a jax.profiler trace of the cascade "
                              "generation here.")

@@ -51,9 +51,14 @@ def shard_decode_inputs(mesh, params, init_tokens, x_enc=None):
     return params, init_tokens, x_enc
 
 
-def transformer_from_checkpoint(ckpt, logging=print):
+def transformer_from_checkpoint(ckpt, logging=print, use_ema=False):
     """Rebuild a Transformer purely from its (self-describing) checkpoint
-    dict (``generate_images.py:171-204``)."""
+    dict (``generate_images.py:171-204``).
+
+    ``use_ema``: restore the exponential-moving-average weights
+    (``model_ema``, written by training under ``--ema-decay``) instead of
+    the live weights; falls back to ``model`` with a log line when the
+    checkpoint carries no EMA."""
     train_base_model = ckpt["train_base_model"]
     cfg = TransformerConfig(
         use_encoder=not train_base_model,
@@ -70,7 +75,13 @@ def transformer_from_checkpoint(ckpt, logging=print):
         hidden_activation=ckpt["hidden_activation"])
     model = Transformer(cfg)
     params = model.init(jax.random.PRNGKey(0))
-    params = common.restore_model_state(model, params, ckpt["model"],
+    state = ckpt["model"]
+    if use_ema:
+        if ckpt.get("model_ema") is not None:
+            state = ckpt["model_ema"]
+        else:
+            logging("Checkpoint has no model_ema; using live weights.")
+    params = common.restore_model_state(model, params, state,
                                         logging=logging)
     return model, params, ckpt
 
@@ -174,7 +185,8 @@ def run(args):
         if not status:
             raise RuntimeError(
                 "An error occured while loading model checkpoint!")
-        model, params, model_ckpt = transformer_from_checkpoint(model_ckpt)
+        model, params, model_ckpt = transformer_from_checkpoint(
+            model_ckpt, use_ema=bool(args.get("use_ema")))
         params = cast(params)
         sliding_window = (model_ckpt["sliding_window"]
                           if model_ckpt["use_sliding_window"] else None)

@@ -76,7 +76,7 @@ class CascadePipeline:
 
     @classmethod
     def from_config(cls, config_dict, decoder_path, logging=print,
-                    mesh=None, dtype=None):
+                    mesh=None, dtype=None, use_ema=False):
         """``config_dict`` is the generate_images staged config (keys
         "0","1",... with model/codebook paths + sampling settings).
 
@@ -84,7 +84,10 @@ class CascadePipeline:
         (``jnp.bfloat16`` halves the decode's HBM streams and runs the
         matmuls at the MXU's native precision — the serving configuration;
         token sequences may differ from fp32 within sampling tolerance).
-        Integer token plumbing is unaffected."""
+        Integer token plumbing is unaffected.
+
+        ``use_ema``: serve the EMA weights (``model_ema``, written under
+        ``--ema-decay``) instead of the live weights."""
         status, dec_ckpt = load_model(decoder_path, logging=logging)
         if not status:
             raise RuntimeError(
@@ -122,7 +125,7 @@ class CascadePipeline:
                 raise RuntimeError(
                     "An error occured while loading model checkpoint!")
             model, params, model_ckpt = transformer_from_checkpoint(
-                model_ckpt, logging=logging)
+                model_ckpt, logging=logging, use_ema=use_ema)
             params = cast(params)
             hr_params = cast(hr_params)
             if lr_params is not None:

@@ -397,6 +397,18 @@ def run(args):
     optimizer = optim.make_adam(model_lr, lr_update_step)
     opt_state = optimizer.init(params)
 
+    # --ema-decay: maintain an exponential-moving-average shadow of the
+    # weights (saved as ``model_ema``; served via --use-ema).  Beyond the
+    # reference (which checkpoints live weights only,
+    # ``train_quantized_transformer.py:519-544``).
+    ema_decay = args.get("ema_decay")
+    ema_params = None
+    if ema_decay is not None:
+        ema_decay = float(ema_decay)
+        if not 0.0 <= ema_decay < 1.0:
+            raise ValueError(
+                f"--ema-decay must be in [0, 1), got {ema_decay}")
+
     if args.get("model_path"):
         status, ckpt = load_model(args["model_path"], logging=log.info)
         if not status:
@@ -404,6 +416,10 @@ def run(args):
                 "An error occured while loading model checkpoint!")
         params = common.restore_model_state(model, params, ckpt["model"],
                                             logging=log.info)
+        if ema_decay is not None and ckpt.get("model_ema") is not None:
+            ema_params = common.restore_model_state(
+                model, jax.tree_util.tree_map(jnp.copy, params),
+                ckpt["model_ema"], logging=log.info)
         if args.get("load_optim") and ckpt.get("model_optimizer") is not None:
             try:
                 opt_state = common.restore_opt_state(
@@ -411,6 +427,8 @@ def run(args):
                     logging=log.info)
             except Exception as e:
                 log.info(f"Could not restore optimizer state: {e}")
+    if ema_decay is not None and ema_params is None:
+        ema_params = jax.tree_util.tree_map(jnp.copy, params)
 
     # DP over the mesh's data axis; Megatron-style TP of every 2-layer MLP
     # over the model axis (--num-model-shards).  With one model shard the
@@ -425,6 +443,8 @@ def run(args):
                                    n_model=n_model, n_pipe=n_pipe)
         params = pipeline.stack_params(params)
         opt_state = pipeline.stack_params(opt_state)
+        if ema_params is not None:
+            ema_params = pipeline.stack_params(ema_params)
         param_spec = pipeline.pipeline_param_spec(params)
     else:
         # --grad-accum: the mesh only ever sees one chunk at a time
@@ -437,6 +457,8 @@ def run(args):
         moment_spec = zero_opt_spec(params, param_spec, mesh.shape["data"])
     data_sharding = batch_sharding(mesh, ndim=4)
     params = shard_tree(mesh, params, param_spec)
+    if ema_params is not None:
+        ema_params = shard_tree(mesh, ema_params, param_spec)
     opt_state = shard_opt_state(mesh, optimizer, opt_state, param_spec,
                                 moment_spec=moment_spec)
     lr_params = shard_tree(mesh, lr_params)
@@ -462,6 +484,14 @@ def run(args):
         grad_accum=grad_accum,
         accum_mesh=mesh if grad_accum > 1 else None)
     engine = DecodeEngine(model)
+
+    ema_step = None
+    if ema_params is not None:
+        def _ema_update(ema, p):
+            return jax.tree_util.tree_map(
+                lambda ev, pv: ev * ema_decay + pv * (1.0 - ema_decay),
+                ema, p)
+        ema_step = jax.jit(_ema_update, donate_argnums=(0,))
 
     def to_checkpoint_form(tree):
         """Pipeline training stores decoder layers stacked/'pipe'-sharded;
@@ -511,6 +541,8 @@ def run(args):
     log.info(f"Batch Size: {batch_size:,}")
     log.info(f"Model LR Update size: {lr_update_step:,}")
     log.info(f"Model Checkpoint step: {checkpoint_step:,}")
+    if ema_decay is not None:
+        log.info(f"EMA decay: {ema_decay}")
     log.info("#" * 100)
 
     rng = jax.random.PRNGKey(args.get("seed", 0))
@@ -527,6 +559,8 @@ def run(args):
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss = train_step(
                 params, opt_state, (lr_params, hr_params), batch, step_rng)
+            if ema_step is not None:
+                ema_params = ema_step(ema_params, params)
             iteration_count += 1
             loss_acc = loss_acc + loss
             should_sync = (log_every <= 1
@@ -545,6 +579,9 @@ def run(args):
                 ckpt["model"] = common.model_state_dict(params_ckpt_form)
                 ckpt["model_optimizer"] = common.gather_replicated(
                     to_checkpoint_form(opt_state))
+                if ema_params is not None:
+                    ckpt["model_ema"] = common.model_state_dict(
+                        to_checkpoint_form(ema_params))
                 if common.is_main_process():
                     save_status = save_model(
                         ckpt, dest_path=out_dir,

@@ -33,6 +33,9 @@ def main():
                              "sharding; for models too large for one "
                              "chip).  Implies a mesh even without "
                              "--shard-batch.")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="Serve the EMA weights (model_ema, written by "
+                             "training under --ema-decay).")
     parser.add_argument("--warmup-batch", type=int, default=0,
                         help="Compile the pipeline for this batch size "
                              "before accepting traffic (0 = lazy).")
@@ -65,7 +68,8 @@ def main():
     config = common.load_config(args.config_path)
     pipe = CascadePipeline.from_config(
         config, args.decoder_path, mesh=mesh,
-        dtype=jnp.bfloat16 if args.bf16 else None)
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        use_ema=args.use_ema)
     if args.warmup_batch > 0:
         pipe.generate(args.warmup_batch, seed=0)
         print(f"warmed up at batch {args.warmup_batch}")

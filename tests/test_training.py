@@ -204,6 +204,140 @@ def test_transformer_bf16_mixed_precision_trains():
     assert np.mean(losses[-10:]) < 0.7 * np.mean(losses[:10]), losses[::30]
 
 
+def _transformer_fixtures(tmp_path):
+    """Tiny fmap dataset + decoder/codebook checkpoints (no training)."""
+    from qaig_tpu.models.conv_nets import Autoencoder, AutoencoderConfig
+    from qaig_tpu.models.codebook import Codebook
+    from qaig_tpu.train import common
+    from qaig_tpu.train.codebook import checkpoint_dict as cb_ckpt_dict
+    from qaig_tpu.utils import save_model
+
+    rng = np.random.default_rng(0)
+    rows = []
+    fdir = tmp_path / "fmaps"
+    fdir.mkdir()
+    for i in range(16):
+        fp = str(fdir / f"{i}.npy")
+        with open(fp, "wb") as f:
+            np.save(f, rng.standard_normal((2, 4, 4)).astype(np.float32))
+    rows = [{"fmap_path": str(fdir / f"{i}.npy"),
+             "image_path": str(fdir / f"{i}.npy")} for i in range(16)]
+    manifest = str(tmp_path / "fmaps.json")
+    write_manifest(manifest, rows)
+
+    ae_cfg = AutoencoderConfig(num_layers=2, image_channel=3, min_channel=8,
+                               max_channel=16, latent_channel=2)
+    ae = Autoencoder(ae_cfg)
+    ae_ckpt = {
+        "num_layers": 2, "image_channel": 3, "min_channel": 8,
+        "max_channel": 16, "latent_channel": 2,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh",
+        "model": common.model_state_dict(ae.init(jax.random.PRNGKey(0)))}
+    assert save_model(ae_ckpt, dest_path=tmp_path, file_name="ae.pt")
+
+    def make_cb(name, patch, k):
+        cb = Codebook(patch_dim=(patch, patch), image_dim=(4, 4),
+                      image_channel=2, num_embeddings=k,
+                      init_neighbour_range=1)
+        assert save_model(cb_ckpt_dict(cb, cb.init(jax.random.PRNGKey(k)),
+                                       0), dest_path=tmp_path,
+                          file_name=f"{name}.pt")
+        return str(tmp_path / "models_checkpoint" / f"{name}.pt")
+
+    cb_a = make_cb("cb_a", 4, 4)
+    cb_b = make_cb("cb_b", 2, 8)
+    cfg = tmp_path / "tf.json"
+    cfg.write_text(json.dumps({
+        "model_lr": 1e-3, "use_sliding_window": False,
+        "num_dec_layers": 2, "self_attn_heads": 2, "in_dim": 16,
+        "hidden_dim": 32, "hidden_activation": "silu"}))
+    return {"manifest": manifest,
+            "ae": str(tmp_path / "models_checkpoint" / "ae.pt"),
+            "cb_a": cb_a, "cb_b": cb_b, "cfg": str(cfg)}
+
+
+def test_transformer_ema_training_and_restore(tmp_path):
+    """--ema-decay maintains a weight shadow: checkpoints carry model_ema,
+    decay 0 tracks the live weights exactly, and
+    transformer_from_checkpoint(use_ema=True) restores the EMA tree (with a
+    live-weight fallback when the checkpoint has none)."""
+    from qaig_tpu.train import transformer
+    from qaig_tpu.infer.generate import transformer_from_checkpoint
+    from qaig_tpu.train import common
+    from qaig_tpu.utils import load_model
+
+    fx = _transformer_fixtures(tmp_path)
+    base_args = {
+        "dataset_path": fx["manifest"], "train_base_model": True,
+        "decoder_path": fx["ae"], "lr_codebook_path": fx["cb_a"],
+        "hr_codebook_path": fx["cb_b"], "config_path": fx["cfg"],
+        "batch_size": 4, "checkpoint_step": 2, "lr_step": 100,
+        "max_epoch": 2, "max_steps": 3, "skip_preview": True}
+
+    out1 = tmp_path / "ema_half"
+    transformer.run(dict(base_args, out_dir=out1, ema_decay=0.5))
+    status, ckpt = load_model(out1 / "models_checkpoint" / "model_2.pt",
+                              logging=lambda m: None)
+    assert status and ckpt.get("model_ema") is not None
+    assert set(ckpt["model_ema"]) == set(ckpt["model"])
+    # two Adam steps moved the live weights away from the lagging EMA
+    diffs = [np.abs(ckpt["model"][k] - ckpt["model_ema"][k]).max()
+             for k in ckpt["model"]]
+    assert max(diffs) > 0
+
+    # decay 0.0: the EMA _is_ the live weights after every update
+    out2 = tmp_path / "ema_zero"
+    transformer.run(dict(base_args, out_dir=out2, ema_decay=0.0))
+    _, ckpt0 = load_model(out2 / "models_checkpoint" / "model_2.pt",
+                          logging=lambda m: None)
+    for k in ckpt0["model"]:
+        np.testing.assert_array_equal(ckpt0["model"][k],
+                                      ckpt0["model_ema"][k])
+
+    # restoration: use_ema picks model_ema, default picks model
+    _, p_ema, _ = transformer_from_checkpoint(ckpt, use_ema=True,
+                                              logging=lambda m: None)
+    _, p_live, _ = transformer_from_checkpoint(ckpt, use_ema=False,
+                                               logging=lambda m: None)
+    flat_ema = common.flatten_tree(p_ema)
+    flat_live = common.flatten_tree(p_live)
+    for k in ckpt["model"]:
+        np.testing.assert_allclose(np.asarray(flat_ema[k]),
+                                   ckpt["model_ema"][k])
+        np.testing.assert_allclose(np.asarray(flat_live[k]),
+                                   ckpt["model"][k])
+
+    # fallback: no model_ema in the checkpoint -> live weights + a log line
+    ckpt_no_ema = dict(ckpt)
+    ckpt_no_ema.pop("model_ema")
+    logs = []
+    _, p_fb, _ = transformer_from_checkpoint(ckpt_no_ema, use_ema=True,
+                                             logging=logs.append)
+    for k in ckpt["model"]:
+        np.testing.assert_allclose(
+            np.asarray(common.flatten_tree(p_fb)[k]), ckpt["model"][k])
+    assert any("model_ema" in m for m in logs)
+
+    # resume keeps the shadow: model_ema flows ckpt -> run -> next ckpt
+    out3 = tmp_path / "ema_resume"
+    transformer.run(dict(base_args, out_dir=out3, ema_decay=0.999,
+                         model_path=out1 / "models_checkpoint" / "model_2.pt",
+                         max_steps=1))
+    _, ckpt3 = load_model(out3 / "models_checkpoint" / "model_0.pt",
+                          logging=lambda m: None)
+    assert ckpt3.get("model_ema") is not None
+    # near-1 decay over one step: the resumed EMA stays close to the loaded
+    # shadow, not the live weights
+    k = max(ckpt["model"],
+            key=lambda k: np.abs(ckpt["model"][k]
+                                 - ckpt["model_ema"][k]).max())
+    d_shadow = np.abs(ckpt3["model_ema"][k] - ckpt["model_ema"][k]).max()
+    d_live = np.abs(ckpt["model"][k] - ckpt["model_ema"][k]).max()
+    assert d_shadow < 0.1 * d_live
+
+
 def test_autoencoder_bf16_mixed_precision_trains():
     from qaig_tpu.train.autoencoder import build_autoencoder, make_train_step
     from qaig_tpu.train.optim import make_adam

@@ -84,6 +84,11 @@ def main():
                              "--num-pipeline-stages (default = the stage "
                              "count; more microbatches shrink the pipeline "
                              "bubble).")
+    parser.add_argument("--ema-decay", type=float, default=None,
+                        help="Maintain an exponential-moving-average copy "
+                             "of the weights (decay per step, e.g. 0.999); "
+                             "saved as model_ema in every checkpoint and "
+                             "served via generate_images.py --use-ema.")
     parser.add_argument("--checkpoint-backend",
                         choices=["pickle", "orbax", "orbax-async"],
                         default="pickle",
