@@ -114,8 +114,13 @@ def make_train_step(model, optimizer, bf16=False, grad_accum=1,
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def checkpoint_dict(cfg, params, opt_state):
+def checkpoint_dict(cfg, params, opt_state, global_steps=0):
+    # "global_steps" is an extra key beyond the reference schema
+    # (train_autoencoder.py:235-247 persists no step counter); the
+    # reference's loader indexes only the keys it knows, so it round-trips
+    # harmlessly.  --auto-resume reads it back.
     return {
+        "global_steps": global_steps,
         "num_layers": cfg.num_layers,
         "image_channel": cfg.image_channel,
         "min_channel": cfg.min_channel,
@@ -157,6 +162,19 @@ def run(args):
     optimizer = optim.make_adam(model_lr, lr_update_step)
     opt_state = optimizer.init(params)
 
+    # --auto-resume: continue from the newest checkpoint in out_dir
+    # (model + optimizer + step counter).  Explicit --model-path wins.
+    resume_steps = None
+    if args.get("auto_resume") and not args.get("model_path"):
+        latest, latest_n = common.find_latest_checkpoint(out_dir)
+        if latest is None:
+            log.info("Auto-resume: no checkpoint under "
+                     f"{out_dir}/models_checkpoint; starting fresh.")
+        else:
+            args = dict(args, model_path=latest, load_optim=True)
+            resume_steps = latest_n
+            log.info(f"Auto-resume: continuing from {latest}")
+
     if args.get("model_path"):
         status, ckpt = load_model(args["model_path"], logging=log.info)
         if not status:
@@ -164,6 +182,8 @@ def run(args):
                 "An error occured while loading model checkpoint!")
         params = common.restore_model_state(model, params, ckpt["model"],
                                             logging=log.info)
+        if args.get("auto_resume"):
+            resume_steps = int(ckpt.get("global_steps", resume_steps or 0))
         if args.get("load_optim") and "model_optimizer" in ckpt:
             try:
                 opt_state = common.restore_opt_state(
@@ -246,7 +266,9 @@ def run(args):
     log.info("#" * 100)
 
     log_every = args.get("log_every", 1)
-    global_steps = 0
+    global_steps = resume_steps or 0
+    if resume_steps is not None:
+        log.info(f"Resuming at global step {global_steps:,}.")
     stop = False
     for _ in range(max_epoch):
         total_recon_loss = 0.0
@@ -265,10 +287,14 @@ def run(args):
                 total_recon_loss = float(loss_acc)
                 common.check_finite(total_recon_loss)
 
-            if global_steps % checkpoint_step == 0:
+            if (global_steps % checkpoint_step == 0
+                    and global_steps != resume_steps):
                 # every process joins the gathers (SPMD); only the main
-                # process touches the filesystem
-                ckpt = checkpoint_dict(cfg, params, opt_state)
+                # process touches the filesystem.  The resume-step guard
+                # keeps a restart from overwriting the checkpoint it just
+                # loaded with a one-step-newer model under the same name.
+                ckpt = checkpoint_dict(cfg, params, opt_state,
+                                       global_steps=global_steps)
                 recon = common.gather_replicated(model.apply(params, batch))
                 gt = common.gather_replicated(batch)
                 if common.is_main_process():

@@ -82,6 +82,18 @@ def run(args):
     decode = jax.jit(decoder.apply)
 
     global_steps = 0
+    resume_steps = None
+    # --auto-resume: continue from the newest codebook checkpoint in
+    # out_dir.  Explicit --codebook-path wins.
+    if args.get("auto_resume") and not args.get("codebook_path"):
+        latest, _ = common.find_latest_checkpoint(out_dir,
+                                                  prefix="codebook")
+        if latest is None:
+            log.info("Auto-resume: no checkpoint under "
+                     f"{out_dir}/models_checkpoint; starting fresh.")
+        else:
+            args = dict(args, codebook_path=latest)
+            log.info(f"Auto-resume: continuing from {latest}")
     if args.get("codebook_path"):
         status, cb_ckpt = load_model(args["codebook_path"], logging=log.info)
         if not status:
@@ -90,6 +102,9 @@ def run(args):
         model, params = common.codebook_from_checkpoint(
             cb_ckpt, logging=log.info)
         global_steps = cb_ckpt.get("global_steps", 0)
+        if args.get("auto_resume"):
+            resume_steps = global_steps
+            log.info(f"Resuming at global step {global_steps:,}.")
     else:
         model = Codebook(
             patch_dim=(config_dict["patch_H"], config_dict["patch_W"]),
@@ -158,9 +173,13 @@ def run(args):
                 total_recon_loss = float(loss_acc)
                 common.check_finite(total_recon_loss)
 
-            if global_steps % checkpoint_step == 0:
+            if (global_steps % checkpoint_step == 0
+                    and global_steps != resume_steps):
                 # every process joins the gathers (SPMD); only the main
-                # process touches the filesystem
+                # process touches the filesystem.  The resume-step guard
+                # keeps --auto-resume restarts from overwriting the
+                # checkpoint they just loaded (plain --codebook-path keeps
+                # the reference's resume semantics).
                 quant = quantize(params, batch, nrange)
                 gt_img = common.gather_replicated(decode(dec_params, batch))
                 quant_img = common.gather_replicated(

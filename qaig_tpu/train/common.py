@@ -17,6 +17,26 @@ def load_config(path):
         return json.load(f)
 
 
+def find_latest_checkpoint(out_dir, prefix="model"):
+    """Newest ``<prefix>_<N>.pt`` (or ``.pt.orbax`` directory) under
+    ``<out_dir>/models_checkpoint``, by step number N.  Returns
+    ``(path, N)`` or ``(None, -1)``.  Backs ``--auto-resume`` (fault
+    recovery: restart the CLI with the same --out-dir and training picks
+    up from the last atomic save — no reference equivalent, the reference
+    restarts step counting on every resume)."""
+    import pathlib
+    import re
+    d = pathlib.Path(out_dir) / "models_checkpoint"
+    best, best_n = None, -1
+    if d.is_dir():
+        pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.pt(\.orbax)?")
+        for p in d.iterdir():
+            m = pat.fullmatch(p.name)
+            if m and int(m.group(1)) > best_n:
+                best, best_n = p, int(m.group(1))
+    return best, best_n
+
+
 def cast_floats(tree, dtype):
     """Cast every float leaf of a pytree to ``dtype`` (mixed-precision
     compute casts; integer leaves untouched)."""

@@ -409,6 +409,19 @@ def run(args):
             raise ValueError(
                 f"--ema-decay must be in [0, 1), got {ema_decay}")
 
+    # --auto-resume: continue from the newest checkpoint in out_dir
+    # (model + optimizer + EMA + step counter).  Explicit --model-path wins.
+    resume_steps = None
+    if args.get("auto_resume") and not args.get("model_path"):
+        latest, latest_n = common.find_latest_checkpoint(out_dir)
+        if latest is None:
+            log.info("Auto-resume: no checkpoint under "
+                     f"{out_dir}/models_checkpoint; starting fresh.")
+        else:
+            args = dict(args, model_path=latest, load_optim=True)
+            resume_steps = latest_n
+            log.info(f"Auto-resume: continuing from {latest}")
+
     if args.get("model_path"):
         status, ckpt = load_model(args["model_path"], logging=log.info)
         if not status:
@@ -416,6 +429,8 @@ def run(args):
                 "An error occured while loading model checkpoint!")
         params = common.restore_model_state(model, params, ckpt["model"],
                                             logging=log.info)
+        if args.get("auto_resume"):
+            resume_steps = int(ckpt.get("global_steps", resume_steps or 0))
         if ema_decay is not None and ckpt.get("model_ema") is not None:
             ema_params = common.restore_model_state(
                 model, jax.tree_util.tree_map(jnp.copy, params),
@@ -547,7 +562,9 @@ def run(args):
 
     rng = jax.random.PRNGKey(args.get("seed", 0))
     log_every = args.get("log_every", 1)
-    global_steps = 0
+    global_steps = resume_steps or 0
+    if resume_steps is not None:
+        log.info(f"Resuming at global step {global_steps:,}.")
     stop = False
     for _ in range(max_epoch):
         total_loss = 0.0
@@ -570,11 +587,15 @@ def run(args):
                 total_loss = float(loss_acc)
                 common.check_finite(total_loss)
 
-            if global_steps % checkpoint_step == 0:
+            if (global_steps % checkpoint_step == 0
+                    and global_steps != resume_steps):
                 # every process joins the gathers (SPMD); only the main
-                # process touches the filesystem
+                # process touches the filesystem.  The resume-step guard
+                # keeps a restart from overwriting the checkpoint it just
+                # loaded with a one-step-newer model under the same name.
                 ckpt = checkpoint_dict(cfg, config_dict, train_base_model,
                                        sliding_window, params, opt_state)
+                ckpt["global_steps"] = global_steps
                 params_ckpt_form = to_checkpoint_form(params)
                 ckpt["model"] = common.model_state_dict(params_ckpt_form)
                 ckpt["model_optimizer"] = common.gather_replicated(

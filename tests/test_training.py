@@ -338,6 +338,80 @@ def test_transformer_ema_training_and_restore(tmp_path):
     assert d_shadow < 0.1 * d_live
 
 
+def test_autoencoder_auto_resume(tmp_path):
+    """--auto-resume: a restarted run picks up the newest checkpoint
+    (weights + optimizer + step counter), never overwrites the checkpoint
+    it resumed from, and continues the global step numbering."""
+    import hashlib
+    from qaig_tpu.train import autoencoder
+    from qaig_tpu.utils import load_model
+
+    manifest = _image_dataset(tmp_path)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model_lr": 1e-3, "image_channel": 3, "min_channel": 8,
+        "max_channel": 16, "num_layers": 1, "latent_channel": 2,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh"}))
+    out = tmp_path / "run"
+    base = {"dataset_path": manifest, "config_path": cfg_path,
+            "out_dir": out, "batch_size": 4, "checkpoint_step": 2,
+            "lr_step": 100, "max_epoch": 10, "auto_resume": True}
+
+    # fresh start: no checkpoint found -> behaves like a normal run
+    autoencoder.run(dict(base, max_steps=3))
+    ck2 = out / "models_checkpoint" / "model_2.pt"
+    assert ck2.exists()
+    _, ckpt2 = load_model(ck2, logging=lambda m: None)
+    assert ckpt2["global_steps"] == 2
+    digest = hashlib.sha256(ck2.read_bytes()).hexdigest()
+
+    # "crash" + restart: resumes at step 2, trains 2->5, saves model_4.pt
+    autoencoder.run(dict(base, max_steps=5))
+    ck4 = out / "models_checkpoint" / "model_4.pt"
+    assert ck4.exists()
+    _, ckpt4 = load_model(ck4, logging=lambda m: None)
+    assert ckpt4["global_steps"] == 4
+    # the resumed-from file was not overwritten by the same-step re-save
+    assert hashlib.sha256(ck2.read_bytes()).hexdigest() == digest
+    # optimizer state actually advanced (Adam count past the first run)
+    diffs = [np.abs(ckpt4["model"][k] - ckpt2["model"][k]).max()
+             for k in ckpt2["model"]]
+    assert max(diffs) > 0
+
+
+def test_transformer_auto_resume_with_ema(tmp_path):
+    """--auto-resume on the transformer stage restores the EMA shadow too
+    and continues step numbering from the newest checkpoint."""
+    from qaig_tpu.train import transformer
+    from qaig_tpu.utils import load_model
+
+    fx = _transformer_fixtures(tmp_path)
+    out = tmp_path / "run"
+    base = {"dataset_path": fx["manifest"], "train_base_model": True,
+            "decoder_path": fx["ae"], "lr_codebook_path": fx["cb_a"],
+            "hr_codebook_path": fx["cb_b"], "config_path": fx["cfg"],
+            "out_dir": out, "batch_size": 4, "checkpoint_step": 2,
+            "lr_step": 100, "max_epoch": 10, "skip_preview": True,
+            "auto_resume": True, "ema_decay": 0.9}
+
+    transformer.run(dict(base, max_steps=3))
+    ck2 = out / "models_checkpoint" / "model_2.pt"
+    assert ck2.exists()
+    _, ckpt2 = load_model(ck2, logging=lambda m: None)
+    assert ckpt2["global_steps"] == 2 and ckpt2.get("model_ema") is not None
+
+    transformer.run(dict(base, max_steps=5))
+    ck4 = out / "models_checkpoint" / "model_4.pt"
+    assert ck4.exists()
+    _, ckpt4 = load_model(ck4, logging=lambda m: None)
+    assert ckpt4["global_steps"] == 4
+    # the EMA shadow kept evolving from its restored value
+    k = next(iter(ckpt2["model_ema"]))
+    assert np.abs(ckpt4["model_ema"][k] - ckpt2["model_ema"][k]).max() > 0
+
+
 def test_autoencoder_bf16_mixed_precision_trains():
     from qaig_tpu.train.autoencoder import build_autoencoder, make_train_step
     from qaig_tpu.train.optim import make_adam

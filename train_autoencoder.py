@@ -20,6 +20,11 @@ def main():
                         help="File path to saved model checkpoint.")
     parser.add_argument("--load-optim", action="store_true",
                         help="Load saved optim parameters with model.")
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="Fault recovery: continue from the newest "
+                             "checkpoint in --out-dir (model + optimizer + "
+                             "step counter); starts fresh when none exists. "
+                             "Explicit --model-path wins.")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--checkpoint-step", type=int, default=1_000)
     parser.add_argument("--lr-step", type=int, default=50_000)

@@ -15,6 +15,12 @@ def main():
     parser.add_argument("--dataset-path", required=True, type=pathlib.Path)
     parser.add_argument("--decoder-path", required=True, type=pathlib.Path)
     parser.add_argument("--codebook-path", required=False, type=pathlib.Path)
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="Fault recovery: continue from the newest "
+                             "codebook checkpoint in --out-dir (weights + "
+                             "neighbourhood range + step counter); starts "
+                             "fresh when none exists. Explicit "
+                             "--codebook-path wins.")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--checkpoint-step", type=int, default=1_000)
     parser.add_argument("--lr-step", type=int, default=100_000)

@@ -84,6 +84,11 @@ def main():
                              "--num-pipeline-stages (default = the stage "
                              "count; more microbatches shrink the pipeline "
                              "bubble).")
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="Fault recovery: continue from the newest "
+                             "checkpoint in --out-dir (model + optimizer + "
+                             "EMA + step counter); starts fresh when none "
+                             "exists. Explicit --model-path wins.")
     parser.add_argument("--ema-decay", type=float, default=None,
                         help="Maintain an exponential-moving-average copy "
                              "of the weights (decay per step, e.g. 0.999); "
