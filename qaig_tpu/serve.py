@@ -30,6 +30,13 @@ Endpoints
     -> ``{"tokens": [[...]], "shape": [...], "images_png_b64": [...]}``
     (images rendered per-sample as PNG, base64; omitted unless requested)
 
+Backpressure: once ``max_queue_rows`` rows are waiting (default 8 full
+dispatches of lag), further requests are shed with **503** +
+``Retry-After`` instead of growing the queue without bound; an optional
+``request_timeout`` bounds each request's QUEUE wait (**504** on expiry —
+a request already merged into a device dispatch always completes).
+Both surface in ``/metrics`` as ``rejected_total`` / ``timeouts_total``.
+
 Run: ``python serve_generation.py --config-path gen.json --decoder-path
 model.pt --port 8000`` (plus ``--bf16`` for serving precision).
 """
@@ -42,6 +49,14 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class ServerOverloadedError(RuntimeError):
+    """Pending queue is at its row bound; the request was rejected (503)."""
+
+
+class RequestTimeoutError(RuntimeError):
+    """The request waited in the queue past its deadline (504)."""
 
 
 def _render_png(image_chw):
@@ -66,7 +81,8 @@ class RequestBatcher:
     seed together so identical compositions reproduce.
     """
 
-    def __init__(self, pipeline, max_batch=64, batch_multiple=1):
+    def __init__(self, pipeline, max_batch=64, batch_multiple=1,
+                 max_queue_rows=None, request_timeout=None):
         self.pipeline = pipeline
         self.batch_multiple = max(1, batch_multiple)
         # The operator's memory bound, rounded DOWN to a mesh multiple so a
@@ -75,12 +91,21 @@ class RequestBatcher:
         self.max_batch = max(
             self.batch_multiple,
             (max_batch // self.batch_multiple) * self.batch_multiple)
+        # Backpressure: reject (503) once this many rows wait in the queue
+        # rather than letting latency grow without bound; default = 8 full
+        # dispatches of lag.  ``request_timeout`` bounds the QUEUE wait (an
+        # in-flight device dispatch is never abandoned — its latency is
+        # bounded by max_batch).
+        self.max_queue_rows = (8 * self.max_batch if max_queue_rows is None
+                               else max(1, int(max_queue_rows)))
+        self.request_timeout = request_timeout
         self._cv = threading.Condition()
         self._pending = []
         self._stop = False
         # observability counters (read under _cv via metrics())
         self._stats = {
             "requests_total": 0, "images_total": 0, "errors_total": 0,
+            "rejected_total": 0, "timeouts_total": 0,
             "dispatches_total": 0, "coalesced_dispatches_total": 0,
             "padded_rows_total": 0, "dispatch_seconds_total": 0.0,
             "last_dispatch_seconds": 0.0, "max_dispatch_seconds": 0.0,
@@ -112,15 +137,34 @@ class RequestBatcher:
         return cap
 
     def submit(self, num, seed):
-        """Returns (images, tokens) for ``num`` rows; blocks until served."""
+        """Returns (images, tokens) for ``num`` rows; blocks until served.
+
+        Raises :class:`ServerOverloadedError` when the pending queue is at
+        ``max_queue_rows``, and :class:`RequestTimeoutError` when the
+        request waits in the queue past ``request_timeout`` seconds (a
+        request already merged into a device dispatch always completes)."""
         item = {"num": num, "seed": seed, "event": threading.Event(),
                 "result": None, "error": None}
         with self._cv:
             if self._stop:
                 raise RuntimeError("server is shutting down")
+            depth = sum(r["num"] for r in self._pending)
+            if depth + num > self.max_queue_rows:
+                self._stats["rejected_total"] += 1
+                raise ServerOverloadedError(
+                    f"queue full: {depth} rows pending "
+                    f"(bound {self.max_queue_rows})")
             self._pending.append(item)
             self._cv.notify()
-        item["event"].wait()
+        if not item["event"].wait(self.request_timeout):
+            with self._cv:
+                if item in self._pending:  # still queued: cancel cleanly
+                    self._pending.remove(item)
+                    self._stats["timeouts_total"] += 1
+                    raise RequestTimeoutError(
+                        f"request timed out after {self.request_timeout}s "
+                        f"in queue")
+            item["event"].wait()  # in-flight; the dispatch will finish
         if item["error"] is not None:
             raise item["error"]
         return item["result"]
@@ -206,12 +250,14 @@ class GenerationServer:
     """
 
     def __init__(self, pipeline, host="127.0.0.1", port=8000, max_batch=64,
-                 batch_multiple=1):
+                 batch_multiple=1, max_queue_rows=None, request_timeout=None):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.batch_multiple = max(1, batch_multiple)
         self.batcher = RequestBatcher(pipeline, max_batch=max_batch,
-                                      batch_multiple=self.batch_multiple)
+                                      batch_multiple=self.batch_multiple,
+                                      max_queue_rows=max_queue_rows,
+                                      request_timeout=request_timeout)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -262,6 +308,16 @@ class GenerationServer:
                             base64.b64encode(_render_png(img)).decode()
                             for img in np.asarray(images)]
                     self._reply(200, payload)
+                except ServerOverloadedError as e:  # backpressure: shed load
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_response(503)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Retry-After", "1")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except RequestTimeoutError as e:
+                    self._reply(504, {"error": str(e)})
                 except Exception as e:  # surface as a JSON 500, keep serving
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 

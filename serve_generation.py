@@ -36,6 +36,14 @@ def main():
     parser.add_argument("--use-ema", action="store_true",
                         help="Serve the EMA weights (model_ema, written by "
                              "training under --ema-decay).")
+    parser.add_argument("--max-queue-rows", type=int, default=None,
+                        help="Backpressure bound: reject (503) once this "
+                             "many image rows wait in the dispatch queue "
+                             "(default: 8 x max-batch).")
+    parser.add_argument("--request-timeout", type=float, default=None,
+                        help="Bound each request's queue wait in seconds "
+                             "(504 on expiry; in-flight dispatches always "
+                             "complete). Default: wait forever.")
     parser.add_argument("--warmup-batch", type=int, default=0,
                         help="Compile the pipeline for this batch size "
                              "before accepting traffic (0 = lazy).")
@@ -76,7 +84,9 @@ def main():
 
     server = GenerationServer(pipe, host=args.host, port=args.port,
                               max_batch=args.max_batch,
-                              batch_multiple=batch_multiple)
+                              batch_multiple=batch_multiple,
+                              max_queue_rows=args.max_queue_rows,
+                              request_timeout=args.request_timeout)
     print(f"serving on http://{args.host}:{server.port}")
     server.start(background=False)
 

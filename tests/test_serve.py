@@ -3,6 +3,7 @@
 import base64
 import io
 import json
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -319,3 +320,98 @@ def test_request_batcher_max_batch_never_exceeded():
     for i, (images, _) in enumerate(results):
         assert images.shape[0] == 4 + i
     assert max(calls) <= 16, calls
+
+
+def test_server_backpressure_rejects_with_503():
+    """Once max_queue_rows rows wait behind an in-flight dispatch, further
+    requests are shed with 503 + Retry-After; queued requests still serve."""
+    import threading
+    import time as _time
+
+    from qaig_tpu.serve import GenerationServer
+
+    class SlowPipe:
+        def generate(self, num, seed=0):
+            _time.sleep(0.8)
+            return (np.zeros((num, 3, 2, 2), np.float32),
+                    np.zeros((num, 2), np.int32))
+
+    server = GenerationServer(SlowPipe(), port=0, max_batch=2,
+                              max_queue_rows=2)
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        results = {}
+
+        def post(name, num):
+            try:
+                results[name] = _post(base + "/generate",
+                                      {"num_images": num, "seed": 1})
+            except urllib.error.HTTPError as e:
+                results[name] = (e.code, json.loads(e.read()),
+                                 e.headers.get("Retry-After"))
+
+        ta = threading.Thread(target=post, args=("a", 2))
+        tb = threading.Thread(target=post, args=("b", 2))
+        ta.start()
+        _time.sleep(0.3)   # dispatcher picks A up; queue is empty again
+        tb.start()
+        _time.sleep(0.2)   # B waits in the queue (2 rows = the bound)
+        post("c", 1)       # 2 + 1 > max_queue_rows -> shed
+        ta.join()
+        tb.join()
+
+        code, body, retry_after = results["c"]
+        assert code == 503 and "queue full" in body["error"]
+        assert retry_after == "1"
+        assert results["a"][0] == 200 and results["b"][0] == 200
+        with urllib.request.urlopen(base + "/metrics") as resp:
+            m = json.loads(resp.read())
+        assert m["rejected_total"] == 1
+        assert m["requests_total"] == 2  # the shed request never dispatched
+    finally:
+        server.stop()
+
+
+def test_request_batcher_queue_timeout():
+    """request_timeout bounds the QUEUE wait (504 path): a queued request
+    expires cleanly, while one already merged into a dispatch completes even
+    past the deadline."""
+    import threading
+    import time as _time
+
+    from qaig_tpu.serve import RequestBatcher, RequestTimeoutError
+
+    class SlowPipe:
+        def generate(self, num, seed=0):
+            _time.sleep(0.5)
+            return (np.zeros((num, 3, 2, 2), np.float32),
+                    np.zeros((num, 2), np.int32))
+
+    batcher = RequestBatcher(SlowPipe(), max_batch=2, request_timeout=0.15)
+    results = {}
+
+    def submit(name, num):
+        try:
+            results[name] = batcher.submit(num, seed=0)
+        except RequestTimeoutError:
+            results[name] = "timeout"
+
+    # A goes in-flight immediately: its own wait expires mid-dispatch but it
+    # must still complete (in-flight work is never abandoned).
+    ta = threading.Thread(target=submit, args=("a", 2))
+    ta.start()
+    _time.sleep(0.1)
+    # B can only start after A's 0.5 s dispatch -> exceeds its 0.15 s budget
+    tb = threading.Thread(target=submit, args=("b", 2))
+    tb.start()
+    ta.join()
+    tb.join()
+
+    assert results["b"] == "timeout"
+    images, _ = results["a"]
+    assert images.shape[0] == 2
+    m = batcher.metrics()
+    batcher.stop()
+    assert m["timeouts_total"] == 1
+    assert m["queue_depth"] == 0  # the expired request left the queue
