@@ -93,11 +93,15 @@ class RequestBatcher:
             (max_batch // self.batch_multiple) * self.batch_multiple)
         # Backpressure: reject (503) once this many rows wait in the queue
         # rather than letting latency grow without bound; default = 8 full
-        # dispatches of lag.  ``request_timeout`` bounds the QUEUE wait (an
-        # in-flight device dispatch is never abandoned — its latency is
-        # bounded by max_batch).
+        # dispatches of lag, floor = max_batch so any admissible request
+        # (num <= max_batch) can always be queued on an idle server — a
+        # smaller bound would 503 large requests forever.
+        # ``request_timeout`` bounds the QUEUE wait (an in-flight device
+        # dispatch is never abandoned — its latency is bounded by
+        # max_batch).
         self.max_queue_rows = (8 * self.max_batch if max_queue_rows is None
-                               else max(1, int(max_queue_rows)))
+                               else max(self.max_batch,
+                                        int(max_queue_rows)))
         self.request_timeout = request_timeout
         self._cv = threading.Condition()
         self._pending = []
@@ -118,7 +122,9 @@ class RequestBatcher:
         """Snapshot of the serving counters (plus queue depth + uptime)."""
         with self._cv:
             snap = dict(self._stats)
-            snap["queue_depth"] = len(self._pending)
+            # same unit as max_queue_rows (rows), plus the request count
+            snap["queue_depth"] = sum(r["num"] for r in self._pending)
+            snap["queue_requests"] = len(self._pending)
         snap["uptime_seconds"] = round(time.monotonic() - self._started, 3)
         n = max(snap["dispatches_total"], 1)
         snap["mean_dispatch_seconds"] = round(
@@ -264,10 +270,12 @@ class GenerationServer:
             def log_message(self, fmt, *args):  # quiet by default
                 pass
 
-            def _reply(self, code, payload):
+            def _reply(self, code, payload, headers=None):
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
+                for name, value in (headers or {}).items():
+                    self.send_header(name, value)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
@@ -309,13 +317,8 @@ class GenerationServer:
                             for img in np.asarray(images)]
                     self._reply(200, payload)
                 except ServerOverloadedError as e:  # backpressure: shed load
-                    body = json.dumps({"error": str(e)}).encode()
-                    self.send_response(503)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Retry-After", "1")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                    self._reply(503, {"error": str(e)},
+                                headers={"Retry-After": "1"})
                 except RequestTimeoutError as e:
                     self._reply(504, {"error": str(e)})
                 except Exception as e:  # surface as a JSON 500, keep serving

@@ -40,8 +40,12 @@ def make_train_step(model, optimizer):
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def checkpoint_dict(model, params, global_steps):
-    return {
+def checkpoint_dict(model, params, global_steps, opt_state=None):
+    # "model_optimizer" is an extra key beyond the reference schema
+    # (train_codebook.py:271-288 persists no optimizer state); the
+    # reference's loader indexes only the keys it knows, so it round-trips
+    # harmlessly.  --auto-resume reads it back.
+    ckpt = {
         "patch_dim": tuple(model.patch_dim),
         "image_dim": tuple(model.image_dim),
         "image_C": model.image_channel,
@@ -50,6 +54,9 @@ def checkpoint_dict(model, params, global_steps):
         "global_steps": global_steps,
         "checkpoint": common.model_state_dict(params),
     }
+    if opt_state is not None:
+        ckpt["model_optimizer"] = common.gather_replicated(opt_state)
+    return ckpt
 
 
 def run(args):
@@ -82,12 +89,13 @@ def run(args):
     decode = jax.jit(decoder.apply)
 
     global_steps = 0
-    resume_steps = None
+    resume_opt = None
     # --auto-resume: continue from the newest codebook checkpoint in
     # out_dir.  Explicit --codebook-path wins.
     if args.get("auto_resume") and not args.get("codebook_path"):
         latest, _ = common.find_latest_checkpoint(out_dir,
-                                                  prefix="codebook")
+                                                  prefix="codebook",
+                                                  logging=log.info)
         if latest is None:
             log.info("Auto-resume: no checkpoint under "
                      f"{out_dir}/models_checkpoint; starting fresh.")
@@ -103,7 +111,17 @@ def run(args):
             cb_ckpt, logging=log.info)
         global_steps = cb_ckpt.get("global_steps", 0)
         if args.get("auto_resume"):
-            resume_steps = global_steps
+            # the checkpoint at counter N already contains update N+1 (the
+            # train step precedes the save); continue at N+1 rather than
+            # replaying the boundary step.  Plain --codebook-path keeps the
+            # reference's resume-at-N semantics
+            # (/root/reference/train_codebook.py:167).
+            resume_opt = cb_ckpt.get("model_optimizer")
+            global_steps = global_steps + 1
+            if global_steps % neighbourhood_step == 0:
+                # the pre-crash run decreased the range right after this
+                # save (loop bottom of the boundary iteration); replay it
+                model.decrease_neighbourhood(steps=1)
             log.info(f"Resuming at global step {global_steps:,}.")
     else:
         model = Codebook(
@@ -116,6 +134,12 @@ def run(args):
 
     optimizer = optim.make_adam(model_lr, lr_update_step)
     opt_state = optimizer.init(params)
+    if resume_opt is not None:  # --auto-resume: Adam moments continue too
+        try:
+            opt_state = common.restore_opt_state(
+                model, params, opt_state, resume_opt, logging=log.info)
+        except Exception as e:
+            log.info(f"Could not restore optimizer state: {e}")
 
     mesh = make_mesh_for_batch(batch_size,
                                n_model=int(args.get("num_model_shards") or 1))
@@ -173,18 +197,15 @@ def run(args):
                 total_recon_loss = float(loss_acc)
                 common.check_finite(total_recon_loss)
 
-            if (global_steps % checkpoint_step == 0
-                    and global_steps != resume_steps):
+            if global_steps % checkpoint_step == 0:
                 # every process joins the gathers (SPMD); only the main
-                # process touches the filesystem.  The resume-step guard
-                # keeps --auto-resume restarts from overwriting the
-                # checkpoint they just loaded (plain --codebook-path keeps
-                # the reference's resume semantics).
+                # process touches the filesystem
                 quant = quantize(params, batch, nrange)
                 gt_img = common.gather_replicated(decode(dec_params, batch))
                 quant_img = common.gather_replicated(
                     decode(dec_params, quant))
-                ckpt = checkpoint_dict(model, params, global_steps)
+                ckpt = checkpoint_dict(model, params, global_steps,
+                                       opt_state=opt_state)
                 if common.is_main_process():
                     save_images(np.asarray(gt_img),
                                 f"image_plot_{global_steps}", out_dir,

@@ -17,24 +17,49 @@ def load_config(path):
         return json.load(f)
 
 
-def find_latest_checkpoint(out_dir, prefix="model"):
-    """Newest ``<prefix>_<N>.pt`` (or ``.pt.orbax`` directory) under
-    ``<out_dir>/models_checkpoint``, by step number N.  Returns
+def _checkpoint_complete(path):
+    """Cheap crash-completeness check for auto-resume candidates.  Pickle
+    files are written atomically (tmp+rename), so a non-empty file is
+    complete; ``.orbax`` directories are multi-file writes — require the
+    arrays commit plus the ``meta.json`` sidecar (written last by
+    ``save_model_orbax``) and no leftover tmp markers from an interrupted
+    (a)sync commit."""
+    p = str(path)
+    if not p.endswith(".orbax"):
+        return os.path.isfile(p) and os.path.getsize(p) > 0
+    arrays = os.path.join(p, "arrays")
+    if not (os.path.isdir(arrays)
+            and os.path.isfile(os.path.join(p, "meta.json"))):
+        return False
+    return not any("tmp" in name.lower()
+                   for name in os.listdir(p) + os.listdir(arrays))
+
+
+def find_latest_checkpoint(out_dir, prefix="model", logging=None):
+    """Newest COMPLETE ``<prefix>_<N>.pt`` (or ``.pt.orbax`` directory)
+    under ``<out_dir>/models_checkpoint``, by step number N.  Returns
     ``(path, N)`` or ``(None, -1)``.  Backs ``--auto-resume`` (fault
     recovery: restart the CLI with the same --out-dir and training picks
-    up from the last atomic save — no reference equivalent, the reference
-    restarts step counting on every resume)."""
+    up from the last save — no reference equivalent, the reference
+    restarts step counting on every resume).  A checkpoint that a crash
+    left half-written is skipped in favor of the previous good one."""
     import pathlib
     import re
     d = pathlib.Path(out_dir) / "models_checkpoint"
-    best, best_n = None, -1
+    found = []
     if d.is_dir():
         pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.pt(\.orbax)?")
         for p in d.iterdir():
             m = pat.fullmatch(p.name)
-            if m and int(m.group(1)) > best_n:
-                best, best_n = p, int(m.group(1))
-    return best, best_n
+            if m:
+                found.append((int(m.group(1)), p))
+    for n, p in sorted(found, reverse=True):
+        if _checkpoint_complete(p):
+            return p, n
+        if logging is not None:
+            logging(f"Auto-resume: skipping incomplete checkpoint {p} "
+                    "(interrupted write).")
+    return None, -1
 
 
 def cast_floats(tree, dtype):

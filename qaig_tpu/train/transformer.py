@@ -413,7 +413,8 @@ def run(args):
     # (model + optimizer + EMA + step counter).  Explicit --model-path wins.
     resume_steps = None
     if args.get("auto_resume") and not args.get("model_path"):
-        latest, latest_n = common.find_latest_checkpoint(out_dir)
+        latest, latest_n = common.find_latest_checkpoint(out_dir,
+                                                         logging=log.info)
         if latest is None:
             log.info("Auto-resume: no checkpoint under "
                      f"{out_dir}/models_checkpoint; starting fresh.")
@@ -562,7 +563,11 @@ def run(args):
 
     rng = jax.random.PRNGKey(args.get("seed", 0))
     log_every = args.get("log_every", 1)
-    global_steps = resume_steps or 0
+    # A checkpoint saved at counter N already contains update N+1 (the
+    # train step precedes the save in the loop); resume continues at N+1
+    # so a preempted run applies exactly the updates an uninterrupted one
+    # would — no boundary-step replay.
+    global_steps = 0 if resume_steps is None else resume_steps + 1
     if resume_steps is not None:
         log.info(f"Resuming at global step {global_steps:,}.")
     stop = False
@@ -587,12 +592,9 @@ def run(args):
                 total_loss = float(loss_acc)
                 common.check_finite(total_loss)
 
-            if (global_steps % checkpoint_step == 0
-                    and global_steps != resume_steps):
+            if global_steps % checkpoint_step == 0:
                 # every process joins the gathers (SPMD); only the main
-                # process touches the filesystem.  The resume-step guard
-                # keeps a restart from overwriting the checkpoint it just
-                # loaded with a one-step-newer model under the same name.
+                # process touches the filesystem
                 ckpt = checkpoint_dict(cfg, config_dict, train_base_model,
                                        sliding_window, params, opt_state)
                 ckpt["global_steps"] = global_steps

@@ -39,7 +39,9 @@ def main():
     parser.add_argument("--max-queue-rows", type=int, default=None,
                         help="Backpressure bound: reject (503) once this "
                              "many image rows wait in the dispatch queue "
-                             "(default: 8 x max-batch).")
+                             "(default: 8 x max-batch; floor: max-batch so "
+                             "any admissible request can queue on an idle "
+                             "server).")
     parser.add_argument("--request-timeout", type=float, default=None,
                         help="Bound each request's queue wait in seconds "
                              "(504 on expiry; in-flight dispatches always "

@@ -213,7 +213,6 @@ def _transformer_fixtures(tmp_path):
     from qaig_tpu.utils import save_model
 
     rng = np.random.default_rng(0)
-    rows = []
     fdir = tmp_path / "fmaps"
     fdir.mkdir()
     for i in range(16):
@@ -437,3 +436,66 @@ def test_autoencoder_bf16_mixed_precision_trains():
     assert losses[-1] < 0.6 * losses[0], losses[::16]
     for leaf in jax.tree_util.tree_leaves(params):
         assert leaf.dtype == jnp.float32
+
+
+def test_find_latest_checkpoint_skips_incomplete(tmp_path):
+    """A half-written .orbax directory left by a crash is skipped in favor
+    of the previous complete checkpoint; once the commit marker (meta.json)
+    exists it is picked again."""
+    from qaig_tpu.train import common
+
+    d = tmp_path / "models_checkpoint"
+    d.mkdir(parents=True)
+    (d / "model_2.pt").write_bytes(b"x")        # complete (atomic rename)
+    bad = d / "model_4.pt.orbax"                # crash leftover
+    bad.mkdir()
+    (bad / "arrays").mkdir()
+    p, n = common.find_latest_checkpoint(tmp_path)
+    assert n == 2 and p.name == "model_2.pt"
+
+    (bad / "meta.json").write_text("{}")        # commit marker written last
+    p, n = common.find_latest_checkpoint(tmp_path)
+    assert n == 4 and p.name == "model_4.pt.orbax"
+
+    (d / "model_6.pt").write_bytes(b"")         # empty = interrupted write
+    p, n = common.find_latest_checkpoint(tmp_path)
+    assert n == 4
+
+
+def test_codebook_auto_resume_restores_optimizer(tmp_path):
+    """Codebook --auto-resume continues the Adam moments through the extra
+    model_optimizer checkpoint key and never overwrites the resumed-from
+    file (resume starts at the step after the save)."""
+    import hashlib
+    from qaig_tpu.train import codebook
+    from qaig_tpu.utils import load_model
+
+    fx = _transformer_fixtures(tmp_path)
+    cfg = tmp_path / "cb.json"
+    cfg.write_text(json.dumps({
+        "model_lr": 1e-2, "image_H": 4, "image_W": 4, "image_C": 2,
+        "patch_H": 2, "patch_W": 2, "num_embeddings": 8,
+        "neighbourhood_step": 2}))
+    out = tmp_path / "cb"
+    base = {"dataset_path": fx["manifest"], "decoder_path": fx["ae"],
+            "config_path": cfg, "out_dir": out, "batch_size": 4,
+            "checkpoint_step": 2, "lr_step": 100, "max_epoch": 10,
+            "auto_resume": True}
+
+    codebook.run(dict(base, max_steps=3))
+    ck2 = out / "models_checkpoint" / "codebook_2.pt"
+    _, c2 = load_model(ck2, logging=lambda m: None)
+    assert c2["global_steps"] == 2 and "model_optimizer" in c2
+    digest = hashlib.sha256(ck2.read_bytes()).hexdigest()
+
+    codebook.run(dict(base, max_steps=5))
+    ck4 = out / "models_checkpoint" / "codebook_4.pt"
+    assert ck4.exists()
+    assert hashlib.sha256(ck2.read_bytes()).hexdigest() == digest
+    _, c4 = load_model(ck4, logging=lambda m: None)
+    # Adam count continued across the restart: 3 updates + 2 updates = 5
+    counts = [int(leaf) for leaf in
+              jax.tree_util.tree_leaves(c4["model_optimizer"])
+              if np.ndim(leaf) == 0 and np.issubdtype(
+                  np.asarray(leaf).dtype, np.integer)]
+    assert 5 in counts, counts
