@@ -24,6 +24,11 @@ def main():
                              "auto-detect when omitted).")
     parser.add_argument("--num-processes", default=None, type=int)
     parser.add_argument("--process-id", default=None, type=int)
+    parser.add_argument("--compilation-cache-dir", default=None,
+                        type=pathlib.Path,
+                        help="Persist XLA compilations here across process "
+                             "restarts (jax persistent cache): later runs "
+                             "with the same shapes skip compilation.")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
     args = vars(parser.parse_args())
     fmap.run(args)

@@ -26,6 +26,11 @@ def main():
                              "overlaps training.")
     parser.add_argument("--multihost", action="store_true",
                         help="Join a multi-host slice via jax.distributed.initialize().")
+    parser.add_argument("--compilation-cache-dir", default=None,
+                        type=pathlib.Path,
+                        help="Persist XLA compilations here across process "
+                             "restarts (jax persistent cache): later runs "
+                             "with the same shapes skip compilation.")
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
     args = vars(parser.parse_args())
     prune.run(args)

@@ -122,6 +122,7 @@ def generate_stage_tokens(model, params, stage_cfg, num_images, rng,
 
 def run(args):
     common.select_platform(args.get("device"))
+    common.apply_compilation_cache(args)
     common.maybe_init_distributed(args)
     out_dir = common.ensure_dir(args["out_dir"])
     num_images = args.get("num_images", 25)

@@ -63,6 +63,7 @@ def run(args):
     common.select_platform(args.get("device"))
     common.maybe_init_distributed(args)
     common.apply_debug_flags(args)
+    common.apply_compilation_cache(args)
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME,
                         main_process=common.is_main_process())

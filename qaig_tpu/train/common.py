@@ -117,6 +117,23 @@ def apply_debug_flags(args):
         jax.config.update("jax_debug_nans", True)
 
 
+def apply_compilation_cache(args):
+    """--compilation-cache-dir: persist XLA compilations across process
+    restarts (jax persistent cache).  First run compiles and writes; every
+    later run with the same program shapes deserializes instead of
+    recompiling — the cold-start killer for serving restarts and short CLI
+    invocations.  No reference equivalent (torch eager has no compile
+    step)."""
+    path = args.get("compilation_cache_dir")
+    if path:
+        os.makedirs(str(path), exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        # cache everything: the cascade's many small jitted segments all
+        # contribute to cold-start latency
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 class MetricsLogger:
     """Append-only JSONL metrics stream (<out>/metrics.jsonl) — the
     machine-readable counterpart of the reference's per-step log lines

@@ -98,6 +98,7 @@ def save_feature_maps(model, params, loader, out_dir, num_files_folder=1_000,
 
 def run(args):
     common.select_platform(args.get("device"))
+    common.apply_compilation_cache(args)
     common.maybe_init_distributed(args)
     out_dir = common.ensure_dir(args["out_dir"])
 

@@ -57,6 +57,7 @@ def prune(model, params, counts, prune_threshold, logging=print):
 
 def run(args):
     common.select_platform(args.get("device"))
+    common.apply_compilation_cache(args)
     common.maybe_init_distributed(args)
     out_dir = common.ensure_dir(args["out_dir"])
     log = setup_logging(out_dir, PROJECT_NAME)

@@ -49,10 +49,16 @@ def main():
     parser.add_argument("--warmup-batch", type=int, default=0,
                         help="Compile the pipeline for this batch size "
                              "before accepting traffic (0 = lazy).")
+    parser.add_argument("--compilation-cache-dir", default=None,
+                        type=pathlib.Path,
+                        help="Persist XLA compilations here across server "
+                             "restarts (jax persistent cache): restarts "
+                             "skip compilation and warm up fast.")
     args = parser.parse_args()
 
     from qaig_tpu.train import common
     common.select_platform(args.device)
+    common.apply_compilation_cache(vars(args))
 
     import jax
     import jax.numpy as jnp

@@ -157,3 +157,88 @@ def test_bench_smoke_multichip_sharded(tmp_path):
     for field in ("mfu", "decode_tokens_per_sec_per_chip",
                   "iter_time_mean_s", "vs_baseline"):
         assert field in out, field
+
+
+@pytest.mark.slow
+def test_compilation_cache_speeds_up_restart(tmp_path):
+    """--compilation-cache-dir: the first run populates the persistent XLA
+    cache; a process restart with the same shapes adds NO new entries (all
+    programs deserialize) and starts substantially faster."""
+    import json
+    import os
+    import time
+
+    import jax
+
+    from qaig_tpu.models.codebook import Codebook
+    from qaig_tpu.models.transformer import Transformer
+    from qaig_tpu.train import common as train_common
+    from qaig_tpu.train import autoencoder as ae_stage
+    from qaig_tpu.train import codebook as cb_stage
+    from qaig_tpu.train.autoencoder import build_autoencoder
+    from qaig_tpu.train.transformer import (build_transformer_config,
+                                            checkpoint_dict)
+    from qaig_tpu.utils import save_model
+
+    # untrained checkpoints are enough: caching is about program shapes
+    cfg_dict = {
+        "model_lr": 1e-3, "image_channel": 3, "min_channel": 8,
+        "max_channel": 16, "num_layers": 1, "latent_channel": 4,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh"}
+    model, cfg = build_autoencoder(cfg_dict)
+    save_model(ae_stage.checkpoint_dict(
+        cfg, model.init(jax.random.PRNGKey(0)), None), tmp_path, "ae.pt",
+        logging=lambda m: None)
+    cb = Codebook(patch_dim=(2, 2), image_dim=(4, 4), image_channel=4,
+                  num_embeddings=8, init_neighbour_range=4)
+    save_model(cb_stage.checkpoint_dict(cb, cb.init(jax.random.PRNGKey(1)),
+                                        0), tmp_path, "cb.pt",
+               logging=lambda m: None)
+    tcfg = build_transformer_config(
+        {"use_sliding_window": False, "num_dec_layers": 1,
+         "self_attn_heads": 2, "in_dim": 16, "hidden_dim": 32,
+         "hidden_activation": "silu"},
+        train_base_model=True, lr_num_embeddings=8, hr_num_embeddings=8)
+    tf = Transformer(tcfg)
+    tf_ckpt = checkpoint_dict(tcfg, {"model_lr": 1e-3}, True, None,
+                              None, None)
+    tf_ckpt["model"] = train_common.model_state_dict(
+        tf.init(jax.random.PRNGKey(2)))
+    save_model(tf_ckpt, tmp_path, "tf.pt", logging=lambda m: None)
+
+    ckpt = tmp_path / "models_checkpoint"
+    gen_cfg = tmp_path / "gen.json"
+    gen_cfg.write_text(json.dumps({
+        "0": {"model_path": str(ckpt / "tf.pt"),
+              "lr_codebook_path": str(ckpt / "cb.pt"),
+              "hr_codebook_path": str(ckpt / "cb.pt"),
+              "beam_width": 2, "num_beam": 2, "temperature": 1.0}}))
+
+    cache = tmp_path / "xlacache"
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+    def run(out):
+        t0 = time.monotonic()
+        result = subprocess.run(
+            [sys.executable, "generate_images.py", "--device", "cpu",
+             "--config-path", str(gen_cfg),
+             "--decoder-path", str(ckpt / "ae.pt"),
+             "--num-images", "2", "--seed", "7",
+             "--out-dir", str(tmp_path / out),
+             "--compilation-cache-dir", str(cache)],
+            capture_output=True, text=True, timeout=420, cwd=".", env=env)
+        assert result.returncode == 0, result.stderr[-2000:]
+        return time.monotonic() - t0
+
+    def entries():
+        return sum(len(files) for _, _, files in os.walk(cache))
+
+    t_cold = run("gen1")
+    n_cold = entries()
+    assert n_cold > 0  # the cache was written
+    t_warm = run("gen2")
+    assert entries() == n_cold  # every program came from the cache
+    assert t_warm < 0.8 * t_cold, (t_cold, t_warm)
