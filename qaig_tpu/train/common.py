@@ -240,7 +240,14 @@ def restore_opt_state(model, params, opt_state, ckpt_opt, logging=print):
     if torch_optim.is_torch_adam_state(ckpt_opt):
         return torch_optim.import_adam_state(model, params, opt_state,
                                              ckpt_opt, logging=logging)
-    return jax.tree_util.tree_map(jnp.asarray, ckpt_opt)
+    restored = jax.tree_util.tree_map(jnp.asarray, ckpt_opt)
+    if (jax.tree_util.tree_structure(restored)
+            == jax.tree_util.tree_structure(opt_state)):
+        return restored  # pickle round-trip: optax namedtuples intact
+    # structure mismatch (e.g. an .orbax checkpoint loads as shallow
+    # dotted-path dicts): map the flat paths onto the fresh optax state
+    return tolerant_restore(opt_state, flatten_tree(ckpt_opt),
+                            logging=logging)
 
 
 def submodule_key_map(keep_prefix, drop_prefixes=()):

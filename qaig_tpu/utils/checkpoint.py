@@ -297,6 +297,10 @@ def unflatten_tree(flat, like):
         if isinstance(node, (list, tuple)):
             rebuilt = [build(v, f"{prefix}.{i}" if prefix else str(i))
                        for i, v in enumerate(node)]
-            return rebuilt if isinstance(node, list) else tuple(rebuilt)
+            if isinstance(node, list):
+                return rebuilt
+            if hasattr(node, "_fields"):  # namedtuple (optax states)
+                return type(node)(*rebuilt)
+            return tuple(rebuilt)
         return flat[prefix]
     return build(like, "")

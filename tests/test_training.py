@@ -499,3 +499,40 @@ def test_codebook_auto_resume_restores_optimizer(tmp_path):
               if np.ndim(leaf) == 0 and np.issubdtype(
                   np.asarray(leaf).dtype, np.integer)]
     assert 5 in counts, counts
+
+
+def test_autoencoder_auto_resume_from_orbax(tmp_path):
+    """--auto-resume discovers and restores .orbax checkpoint directories
+    (sharded backend) including the optimizer state and step counter."""
+    from qaig_tpu.train import autoencoder
+    from qaig_tpu.utils import load_model
+
+    manifest = _image_dataset(tmp_path)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model_lr": 1e-3, "image_channel": 3, "min_channel": 8,
+        "max_channel": 16, "num_layers": 1, "latent_channel": 2,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh"}))
+    out = tmp_path / "run"
+    base = {"dataset_path": manifest, "config_path": cfg_path,
+            "out_dir": out, "batch_size": 4, "checkpoint_step": 2,
+            "lr_step": 100, "max_epoch": 10, "auto_resume": True,
+            "checkpoint_backend": "orbax"}
+
+    autoencoder.run(dict(base, max_steps=3))
+    ck2 = out / "models_checkpoint" / "model_2.pt.orbax"
+    assert ck2.is_dir() and (ck2 / "meta.json").exists()
+
+    autoencoder.run(dict(base, max_steps=5))
+    ck4 = out / "models_checkpoint" / "model_4.pt.orbax"
+    assert ck4.is_dir()
+    _, ckpt4 = load_model(ck4, logging=lambda m: None)
+    assert int(ckpt4["global_steps"]) == 4
+    # Adam count continued across the restart: 3 + 2 updates = 5
+    counts = [int(np.asarray(leaf)) for leaf in
+              jax.tree_util.tree_leaves(ckpt4["model_optimizer"])
+              if np.ndim(leaf) == 0 and np.issubdtype(
+                  np.asarray(leaf).dtype, np.integer)]
+    assert 5 in counts, counts
