@@ -242,3 +242,18 @@ def test_compilation_cache_speeds_up_restart(tmp_path):
     t_warm = run("gen2")
     assert entries() == n_cold  # every program came from the cache
     assert t_warm < 0.8 * t_cold, (t_cold, t_warm)
+
+
+def test_console_entry_points_resolve():
+    """Every [project.scripts] target imports and is callable (pip-installed
+    `qaig-*` commands mirror the root-level reference-parity scripts)."""
+    import importlib
+    import tomllib
+
+    with open("pyproject.toml", "rb") as f:
+        cfg = tomllib.load(f)
+    scripts = cfg["project"]["scripts"]
+    assert len(scripts) >= 8
+    for name, target in scripts.items():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn)), name

@@ -2,82 +2,7 @@
 """Train the fully-convolutional autoencoder (CLI parity with the reference
 ``train_autoencoder.py``)."""
 
-import argparse
-import pathlib
-
-from qaig_tpu.train import autoencoder
-
-
-def main():
-    parser = argparse.ArgumentParser(
-        description="Train Autoencoder models.")
-    parser.add_argument("--device", choices=["auto", "cpu", "tpu", "cuda"],
-                        type=str, default="auto",
-                        help="Which hardware device will model run on.")
-    parser.add_argument("--dataset-path", required=True, type=pathlib.Path,
-                        help="File path to image dataset json file.")
-    parser.add_argument("--model-path", default=None, type=pathlib.Path,
-                        help="File path to saved model checkpoint.")
-    parser.add_argument("--load-optim", action="store_true",
-                        help="Load saved optim parameters with model.")
-    parser.add_argument("--auto-resume", action="store_true",
-                        help="Fault recovery: continue from the newest "
-                             "checkpoint in --out-dir (model + optimizer + "
-                             "step counter); starts fresh when none exists. "
-                             "Explicit --model-path wins.")
-    parser.add_argument("--batch-size", type=int, default=8)
-    parser.add_argument("--checkpoint-step", type=int, default=1_000)
-    parser.add_argument("--lr-step", type=int, default=50_000)
-    parser.add_argument("--max-epoch", type=int, default=1_000)
-    parser.add_argument("--max-steps", type=int, default=None,
-                        help="Optional hard step cap (smoke runs).")
-    parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--bf16", action="store_true",
-                        help="Mixed-precision training: bfloat16 compute, float32 "
-                             "master weights/optimizer (TPU MXU-native).")
-    parser.add_argument("--debug-nans", action="store_true",
-                        help="Enable jax_debug_nans (fail at the faulty op).")
-    parser.add_argument("--profile-dir", default=None, type=pathlib.Path,
-                        help="Capture a jax.profiler trace window here.")
-    parser.add_argument("--profile-start", type=int, default=5)
-    parser.add_argument("--profile-steps", type=int, default=5)
-    parser.add_argument("--config-path", required=True, type=pathlib.Path)
-    parser.add_argument("--log-every", type=int, default=1,
-                        help="Sync loss to host every N steps (1 = reference behavior).")
-    parser.add_argument("--num-model-shards", type=int, default=1,
-                        help="Tensor-parallel shards over the mesh's model "
-                             "axis (1 = pure data parallel).")
-    parser.add_argument("--grad-accum", type=int, default=1,
-                        help="Accumulate gradients over N equal chunks of "
-                             "the batch before one Adam update (activation "
-                             "memory scales with batch/N; updates match "
-                             "the full-batch step).")
-    parser.add_argument("--zero-opt", action="store_true",
-                        help="ZeRO-1: shard Adam moments over the data "
-                             "axis (each chip stores/updates 1/data of "
-                             "the optimizer state).")
-    parser.add_argument("--checkpoint-backend",
-                        choices=["pickle", "orbax", "orbax-async"],
-                        default="pickle",
-                        help="pickle = reference-compatible single file; "
-                             "orbax = sharded directory (no host gather); "
-                             "orbax-async = sharded + the disk commit "
-                             "overlaps training.")
-    parser.add_argument("--multihost", action="store_true",
-                        help="Join a multi-host slice via jax.distributed.initialize().")
-    parser.add_argument("--coordinator-address", default=None, type=str,
-                        help="host:port of process 0 (multihost; TPU pods "
-                             "auto-detect when omitted).")
-    parser.add_argument("--num-processes", default=None, type=int)
-    parser.add_argument("--process-id", default=None, type=int)
-    parser.add_argument("--compilation-cache-dir", default=None,
-                        type=pathlib.Path,
-                        help="Persist XLA compilations here across process "
-                             "restarts (jax persistent cache): later runs "
-                             "with the same shapes skip compilation.")
-    parser.add_argument("--out-dir", required=True, type=pathlib.Path)
-    args = vars(parser.parse_args())
-    autoencoder.run(args)
+from qaig_tpu.cli.train_autoencoder import main  # noqa: F401
 
 
 if __name__ == "__main__":
