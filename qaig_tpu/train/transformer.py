@@ -486,9 +486,17 @@ def run(args):
                         seed=args.get("seed", 0),
                         process_index=jax.process_index(),
                         process_count=jax.process_count())
-    test_loader = DataLoader(dataset, batch_size=min(test_num_sample,
-                                                     len(dataset)),
-                             seed=args.get("seed", 0) + 1)
+    test_batch = min(test_num_sample, len(dataset))
+    if jax.process_count() > 1:
+        # previews run SPMD on the global mesh: the test batch must tile
+        # both the data axis and the process count
+        import math
+        tile = math.lcm(mesh.shape["data"], jax.process_count())
+        test_batch = max(tile, (test_batch // tile) * tile)
+    test_loader = DataLoader(dataset, batch_size=test_batch,
+                             seed=args.get("seed", 0) + 1,
+                             process_index=jax.process_index(),
+                             process_count=jax.process_count())
 
     train_step = make_train_step(
         model, optimizer, lr_codebook, hr_codebook, train_base_model,
@@ -615,26 +623,31 @@ def run(args):
                     log.info("Successfully saved model." if save_status
                              else "Error occured saving model.")
 
-                if jax.process_count() > 1 and not args.get("skip_preview"):
-                    log.info("Skipping AR previews under multihost "
-                             "(host-local preview batches cannot join the "
-                             "global mesh).")
-                if jax.process_count() == 1 and not args.get("skip_preview"):
-                    test_fmap = jnp.asarray(next(iter(test_loader)))
-                    save_images(
-                        np.asarray(decode_image(dec_params, test_fmap)),
-                        f"ground_truth_{global_steps}", out_dir,
-                        logging=log.info)
-                    save_images(
-                        np.asarray(decode_image(
-                            dec_params, quant_lr(lr_params, test_fmap))),
-                        f"low_res_cond_{global_steps}", out_dir,
-                        logging=log.info)
-                    save_images(
-                        np.asarray(decode_image(
-                            dec_params, quant_hr(hr_params, test_fmap))),
-                        f"high_res_example_{global_steps}", out_dir,
-                        logging=log.info)
+                if not args.get("skip_preview"):
+                    # Previews run on EVERY process (the computations are
+                    # SPMD over the global mesh under multihost); only the
+                    # main process touches the filesystem.
+                    local = np.asarray(next(iter(test_loader)))
+                    if jax.process_count() == 1:
+                        test_fmap = jnp.asarray(local)
+                    else:
+                        test_fmap = common.put_global_batch(data_sharding,
+                                                            local)
+
+                    def dump(arr, name):
+                        arr = common.gather_replicated(arr)
+                        if common.is_main_process():
+                            save_images(np.asarray(arr), name, out_dir,
+                                        logging=log.info)
+
+                    dump(decode_image(dec_params, test_fmap),
+                         f"ground_truth_{global_steps}")
+                    dump(decode_image(dec_params,
+                                      quant_lr(lr_params, test_fmap)),
+                         f"low_res_cond_{global_steps}")
+                    dump(decode_image(dec_params,
+                                      quant_hr(hr_params, test_fmap)),
+                         f"high_res_example_{global_steps}")
 
                     rng, gen_rng = jax.random.split(rng)
                     preview_params = params
@@ -648,11 +661,9 @@ def run(args):
                         train_base_model, lr_num_embeddings,
                         hr_num_embeddings, total_hr_seq, temperature,
                         sliding_window, gen_rng)
-                    recon = decode_image(dec_params,
-                                         quant_image(hr_params, tokens))
-                    save_images(np.asarray(recon),
-                                f"high_res_recon_{global_steps}", out_dir,
-                                logging=log.info)
+                    dump(decode_image(dec_params,
+                                      quant_image(hr_params, tokens)),
+                         f"high_res_recon_{global_steps}")
 
             lr_now = optim.current_lr(model_lr, lr_update_step,
                                       global_steps + 1)

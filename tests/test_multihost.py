@@ -137,7 +137,7 @@ def test_two_process_multihost_training(tmp_path):
              "--hr-codebook-path", fx["cb_b"],
              "--config-path", fx["cfg"], "--out-dir", str(out_dir),
              "--batch-size", "4", "--checkpoint-step", "2",
-             "--max-steps", "3", "--skip-preview",
+             "--max-steps", "3", "--test-num-sample", "4",
              "--multihost", "--coordinator-address", "localhost:29531",
              "--num-processes", "2", "--process-id", str(pid)],
             cwd=".", env=env, text=True,
@@ -156,3 +156,7 @@ def test_two_process_multihost_training(tmp_path):
     assert "Recon Loss" in outs[0] and "Recon Loss" in outs[1]
     assert "Successfully saved model." in outs[0]
     assert "Successfully saved model." not in outs[1]
+    # AR previews run SPMD over the 2-process mesh; process 0 writes them
+    for name in ("ground_truth_2", "low_res_cond_2", "high_res_example_2",
+                 "high_res_recon_2"):
+        assert (out_dir / "images" / f"{name}.jpg").exists(), name
