@@ -154,15 +154,24 @@ class CascadePipeline:
                 total_seq=total_seq, is_base=is_base))
         return cls(stages, decoder, dec_params, mesh=mesh)
 
-    def generate_tokens(self, num_images, rng, init_tokens=None):
+    def generate_tokens(self, num_images, rng, init_tokens=None,
+                        temperature=None):
         """Run every stage; returns (final HR tokens, per-stage tokens).
 
         ``init_tokens`` optionally conditions stage 0 (defaults to random
-        coarse indices like the reference).
+        coarse indices like the reference).  ``temperature`` overrides
+        every stage's configured sampling temperature for this call (each
+        distinct value compiles its own decode programs once, then they
+        cache).
         """
+        import dataclasses
         per_stage = []
         tokens = init_tokens
         for stage in self.stages:
+            settings = stage.settings
+            if temperature is not None:
+                settings = dataclasses.replace(
+                    settings, temperature=float(temperature))
             rng, gen_rng = jax.random.split(rng)
             if stage.is_base:
                 if tokens is None:
@@ -178,18 +187,20 @@ class CascadePipeline:
                              stage.hr_codebook.num_embeddings, jnp.int32))
                 x_enc = self._shard_batch(tokens)
             out = stage.engine.rollout_generate(
-                stage.params, init, stage.total_seq, gen_rng, stage.settings,
+                stage.params, init, stage.total_seq, gen_rng, settings,
                 num_beam=stage.num_beam, beam_width=stage.beam_width,
                 x_enc=x_enc, sliding_window=stage.sliding_window)
-            tokens = out - stage.settings.index_shift
+            tokens = out - settings.index_shift
             per_stage.append(tokens)
         return tokens, per_stage
 
-    def generate(self, num_images, seed=0, init_tokens=None):
+    def generate(self, num_images, seed=0, init_tokens=None,
+                 temperature=None):
         """Returns (images (N, C, H, W) in [-1, 1] BGR, final tokens)."""
         rng = jax.random.PRNGKey(seed)
         tokens, _ = self.generate_tokens(num_images, rng,
-                                         init_tokens=init_tokens)
+                                         init_tokens=init_tokens,
+                                         temperature=temperature)
         last = self.stages[-1]
         quant = last.hr_codebook.get_quantized_image(last.hr_params, tokens)
         images = self._decode_jit(self.dec_params, quant)

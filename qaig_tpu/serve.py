@@ -26,9 +26,14 @@ Endpoints
 ``GET /metrics``                           serving counters: requests/images/
     errors totals, dispatch counts (+how many were coalesced), padded-row
     waste, dispatch latency (last/mean/max), queue depth, uptime
-``POST /generate`` ``{"num_images": N, "seed": S, "return_images": bool}``
+``POST /generate`` ``{"num_images": N, "seed": S, "return_images": bool,
+    "temperature": T}``
     -> ``{"tokens": [[...]], "shape": [...], "images_png_b64": [...]}``
-    (images rendered per-sample as PNG, base64; omitted unless requested)
+    (images rendered per-sample as PNG, base64; omitted unless requested).
+    ``temperature`` (optional, >= 0.1 like the reference's
+    ``restricted_float``) overrides every stage's sampling temperature for
+    this request; only same-temperature requests coalesce, and each
+    distinct value compiles its decode programs once.
 
 Backpressure: once ``max_queue_rows`` rows are waiting (default 8 full
 dispatches of lag), further requests are shed with **503** +
@@ -142,15 +147,20 @@ class RequestBatcher:
             cap = -(-total // self.batch_multiple) * self.batch_multiple
         return cap
 
-    def submit(self, num, seed):
+    def submit(self, num, seed, temperature=None):
         """Returns (images, tokens) for ``num`` rows; blocks until served.
+
+        ``temperature`` overrides the pipeline's configured sampling
+        temperature for this request; only same-temperature requests
+        coalesce into one dispatch (the decode programs are compiled per
+        temperature value).
 
         Raises :class:`ServerOverloadedError` when the pending queue is at
         ``max_queue_rows``, and :class:`RequestTimeoutError` when the
         request waits in the queue past ``request_timeout`` seconds (a
         request already merged into a device dispatch always completes)."""
-        item = {"num": num, "seed": seed, "event": threading.Event(),
-                "result": None, "error": None}
+        item = {"num": num, "seed": seed, "temp": temperature,
+                "event": threading.Event(), "result": None, "error": None}
         with self._cv:
             if self._stop:
                 raise RuntimeError("server is shutting down")
@@ -182,15 +192,21 @@ class RequestBatcher:
                     self._cv.wait()
                 if self._stop and not self._pending:
                     return
-                batch, total = [], 0
-                while self._pending and \
-                        total + self._pending[0]["num"] <= self.max_batch:
-                    req = self._pending.pop(0)
-                    batch.append(req)
-                    total += req["num"]
-                if not batch:  # head alone exceeds max_batch (validated
-                    req = self._pending.pop(0)  # upstream; belt and braces)
-                    batch, total = [req], req["num"]
+                head = self._pending.pop(0)
+                batch, total = [head], head["num"]
+                # merge every waiting request that shares the head's
+                # temperature (different temperatures run different
+                # compiled programs); others stay queued for later rounds
+                i = 0
+                while i < len(self._pending):
+                    req = self._pending[i]
+                    if (req["temp"] == head["temp"]
+                            and total + req["num"] <= self.max_batch):
+                        self._pending.pop(i)
+                        batch.append(req)
+                        total += req["num"]
+                    else:
+                        i += 1
             if len(batch) == 1:
                 # solo = batch-CLI semantics: the request's own seed, padded
                 # only as far as the mesh requires (exactly num rows when
@@ -208,7 +224,10 @@ class RequestBatcher:
             t0 = time.monotonic()
             failed = False
             try:
-                images, tokens = self.pipeline.generate(padded, seed=seed)
+                kwargs = ({} if batch[0]["temp"] is None
+                          else {"temperature": batch[0]["temp"]})
+                images, tokens = self.pipeline.generate(padded, seed=seed,
+                                                        **kwargs)
                 images, tokens = np.asarray(images), np.asarray(tokens)
                 offset = 0
                 for req in batch:
@@ -298,15 +317,23 @@ class GenerationServer:
                     num = int(req.get("num_images", 1))
                     seed = int(req.get("seed", 0))
                     want_images = bool(req.get("return_images", False))
+                    temperature = req.get("temperature")
                     if not 1 <= num <= server.batcher.max_batch:
                         self._reply(400, {
                             "error": f"num_images must be in "
                                      f"[1, {server.batcher.max_batch}]"})
                         return
+                    if temperature is not None:
+                        temperature = float(temperature)
+                        if temperature < 0.1:  # restricted_float bound
+                            self._reply(400, {
+                                "error": "temperature must be >= 0.1"})
+                            return
                     # no per-request batch_multiple constraint: the batcher
                     # pads the MERGED batch to a multiple, so any num rows
                     # shard cleanly over the generation mesh
-                    images, tokens = server.batcher.submit(num, seed)
+                    images, tokens = server.batcher.submit(
+                        num, seed, temperature=temperature)
                     payload = {
                         "tokens": np.asarray(tokens).tolist(),
                         "shape": list(np.asarray(images).shape),

@@ -127,6 +127,19 @@ def test_generation_server_end_to_end(gen_config):
         assert m["mean_dispatch_seconds"] > 0
         assert m["uptime_seconds"] > 0
         assert m["queue_depth"] == 0
+
+        # per-request temperature override: serves (compiling its own
+        # programs once); sub-0.1 values are rejected like the reference's
+        # restricted_float
+        status, hot = _post(base + "/generate",
+                            {"num_images": 2, "seed": 5, "temperature": 5.0})
+        assert status == 200
+        assert np.asarray(hot["tokens"]).shape == (2, 4)
+        try:
+            _post(base + "/generate", {"num_images": 1, "temperature": 0.05})
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.stop()
 
@@ -415,3 +428,49 @@ def test_request_batcher_queue_timeout():
     batcher.stop()
     assert m["timeouts_total"] == 1
     assert m["queue_depth"] == 0  # the expired request left the queue
+
+
+def test_request_batcher_groups_by_temperature():
+    """Per-request temperature: only same-temperature requests merge into a
+    dispatch; the override reaches pipeline.generate, and default-settings
+    requests pass no override at all."""
+    import threading
+    import time as _time
+
+    from qaig_tpu.serve import RequestBatcher
+
+    calls = []
+
+    class FakePipe:
+        def generate(self, num, seed=0, temperature=None):
+            _time.sleep(0.3)
+            calls.append((num, temperature))
+            return (np.zeros((num, 3, 2, 2), np.float32),
+                    np.zeros((num, 2), np.int32))
+
+    batcher = RequestBatcher(FakePipe(), max_batch=8)
+    results = []
+
+    def submit(num, temp):
+        results.append(batcher.submit(num, seed=0, temperature=temp))
+
+    # occupy the dispatcher, then queue a mixed-temperature backlog
+    t0 = threading.Thread(target=submit, args=(1, None))
+    t0.start()
+    _time.sleep(0.1)
+    threads = [threading.Thread(target=submit, args=(1, 2.0)),
+               threading.Thread(target=submit, args=(1, None)),
+               threading.Thread(target=submit, args=(1, 2.0))]
+    for t in threads:
+        t.start()
+        _time.sleep(0.05)  # deterministic queue order
+    t0.join()
+    for t in threads:
+        t.join()
+    batcher.stop()
+
+    assert len(results) == 4 and all(r[0].shape[0] == 1 for r in results)
+    # dispatch 1: the solo head; then 2.0-pair merges; the default-settings
+    # request runs alone (different program)
+    assert calls[0] == (1, None)
+    assert sorted(calls[1:]) == [(1, None), (2, 2.0)], calls
