@@ -4,6 +4,8 @@ reference ``generate_images.py``)."""
 import argparse
 import pathlib
 
+from qaig_tpu.cli._args import add_runtime_args
+
 from qaig_tpu.infer import generate
 
 
@@ -30,18 +32,7 @@ def main():
                              "transformer's weights (Megatron MLP "
                              "sharding over the mesh's model axis; for "
                              "models too large for one chip).")
-    parser.add_argument("--multihost", action="store_true",
-                        help="Join a multi-host slice via jax.distributed.initialize().")
-    parser.add_argument("--coordinator-address", default=None, type=str,
-                        help="host:port of process 0 (multihost; TPU pods "
-                             "auto-detect when omitted).")
-    parser.add_argument("--num-processes", default=None, type=int)
-    parser.add_argument("--process-id", default=None, type=int)
-    parser.add_argument("--compilation-cache-dir", default=None,
-                        type=pathlib.Path,
-                        help="Persist XLA compilations here across process "
-                             "restarts (jax persistent cache): later runs "
-                             "with the same shapes skip compilation.")
+    add_runtime_args(parser)
     parser.add_argument("--out-dir", required=True, type=pathlib.Path)
     args = vars(parser.parse_args())
     generate.run(args)

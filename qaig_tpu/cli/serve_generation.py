@@ -9,6 +9,8 @@ JSON as ``generate_images.py``.
 import argparse
 import pathlib
 
+from qaig_tpu.cli._args import add_runtime_args
+
 
 def main():
     parser = argparse.ArgumentParser(description="Serve image generation.")
@@ -48,11 +50,7 @@ def main():
     parser.add_argument("--warmup-batch", type=int, default=0,
                         help="Compile the pipeline for this batch size "
                              "before accepting traffic (0 = lazy).")
-    parser.add_argument("--compilation-cache-dir", default=None,
-                        type=pathlib.Path,
-                        help="Persist XLA compilations here across server "
-                             "restarts (jax persistent cache): restarts "
-                             "skip compilation and warm up fast.")
+    add_runtime_args(parser, multihost=False)
     args = parser.parse_args()
 
     from qaig_tpu.train import common

@@ -91,19 +91,37 @@ class DataLoader:
             return list(pool.map(self.dataset.__getitem__,
                                  [int(i) for i in idx_batch]))
 
+        stop = threading.Event()
+
+        def q_put(item):
+            """Put that gives up once the consumer is gone — an abandoned
+            iterator (e.g. ``next(iter(loader))``) must not leave the
+            worker blocked in ``q.put`` forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for idx_batch in self._batch_indices():
+                    if stop.is_set():
+                        return
                     if load_batch is not None:
                         batch = load_batch([int(i) for i in idx_batch])
                         if batch is not None:
-                            q.put(batch)
+                            if not q_put(batch):
+                                return
                             continue
-                    q.put(_stack(fetch_items(idx_batch)))
+                    if not q_put(_stack(fetch_items(idx_batch))):
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 error.append(e)
             finally:
-                q.put(sentinel)
+                q_put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -116,5 +134,8 @@ class DataLoader:
                     return
                 yield item
         finally:
+            # runs promptly when the generator is closed or abandoned
+            # (CPython refcounting): release the worker and the pool
+            stop.set()
             if pool is not None:
                 pool.shutdown(wait=False)

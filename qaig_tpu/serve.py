@@ -30,10 +30,11 @@ Endpoints
     "temperature": T}``
     -> ``{"tokens": [[...]], "shape": [...], "images_png_b64": [...]}``
     (images rendered per-sample as PNG, base64; omitted unless requested).
-    ``temperature`` (optional, >= 0.1 like the reference's
-    ``restricted_float``) overrides every stage's sampling temperature for
-    this request; only same-temperature requests coalesce, and each
-    distinct value compiles its decode programs once.
+    ``temperature`` (optional, clamped to ``TEMPERATURE_RANGE`` and
+    quantized to a 0.1 grid — each distinct value compiles its decode
+    programs once, so accepted values are bounded against untrusted
+    clients) overrides every stage's sampling temperature for this
+    request; only same-temperature requests coalesce.
 
 Backpressure: once ``max_queue_rows`` rows are waiting (default 8 full
 dispatches of lag), further requests are shed with **503** +
@@ -49,11 +50,19 @@ model.pt --port 8000`` (plus ``--bf16`` for serving precision).
 import base64
 import io
 import json
+import math
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+# Per-request temperatures are quantized to this grid and clamped to this
+# range: every DISTINCT value compiles (once) its own set of decode
+# programs, so an untrusted client must not be able to mint unbounded
+# compilations (<= 50 possible values here).
+TEMPERATURE_RANGE = (0.1, 5.0)
+TEMPERATURE_GRID_DECIMALS = 1
 
 
 class ServerOverloadedError(RuntimeError):
@@ -324,11 +333,23 @@ class GenerationServer:
                                      f"[1, {server.batcher.max_batch}]"})
                         return
                     if temperature is not None:
-                        temperature = float(temperature)
-                        if temperature < 0.1:  # restricted_float bound
+                        try:
+                            temperature = float(temperature)
+                        except (TypeError, ValueError):
                             self._reply(400, {
-                                "error": "temperature must be >= 0.1"})
+                                "error": "temperature must be a number"})
                             return
+                        lo, hi = TEMPERATURE_RANGE
+                        if not (math.isfinite(temperature)
+                                and lo <= temperature <= hi):
+                            self._reply(400, {
+                                "error": f"temperature must be in "
+                                         f"[{lo}, {hi}]"})
+                            return
+                        # grid-quantize: bounds the per-temperature
+                        # compiled-program cache against untrusted input
+                        temperature = round(temperature,
+                                            TEMPERATURE_GRID_DECIMALS)
                     # no per-request batch_multiple constraint: the batcher
                     # pads the MERGED batch to a multiple, so any num rows
                     # shard cleanly over the generation mesh

@@ -487,12 +487,19 @@ def run(args):
                         process_index=jax.process_index(),
                         process_count=jax.process_count())
     test_batch = min(test_num_sample, len(dataset))
+    skip_preview = bool(args.get("skip_preview"))
     if jax.process_count() > 1:
         # previews run SPMD on the global mesh: the test batch must tile
         # both the data axis and the process count
         import math
         tile = math.lcm(mesh.shape["data"], jax.process_count())
-        test_batch = max(tile, (test_batch // tile) * tile)
+        test_batch = (test_batch // tile) * tile
+        if test_batch == 0 and not skip_preview:
+            log.info(f"Skipping AR previews: dataset ({len(dataset)} "
+                     f"samples) cannot tile the global mesh "
+                     f"(needs a multiple of {tile}).")
+            skip_preview = True
+            test_batch = tile  # loader placeholder; never iterated
     test_loader = DataLoader(dataset, batch_size=test_batch,
                              seed=args.get("seed", 0) + 1,
                              process_index=jax.process_index(),
@@ -623,7 +630,7 @@ def run(args):
                     log.info("Successfully saved model." if save_status
                              else "Error occured saving model.")
 
-                if not args.get("skip_preview"):
+                if not skip_preview:
                     # Previews run on EVERY process (the computations are
                     # SPMD over the global mesh under multihost); only the
                     # main process touches the filesystem.

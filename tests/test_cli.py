@@ -248,7 +248,7 @@ def test_console_entry_points_resolve():
     """Every [project.scripts] target imports and is callable (pip-installed
     `qaig-*` commands mirror the root-level reference-parity scripts)."""
     import importlib
-    import tomllib
+    tomllib = pytest.importorskip("tomllib")  # stdlib from 3.11
 
     with open("pyproject.toml", "rb") as f:
         cfg = tomllib.load(f)

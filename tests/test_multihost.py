@@ -160,3 +160,24 @@ def test_two_process_multihost_training(tmp_path):
     for name in ("ground_truth_2", "low_res_cond_2", "high_res_example_2",
                  "high_res_recon_2"):
         assert (out_dir / "images" / f"{name}.jpg").exists(), name
+
+
+def test_abandoned_iterator_releases_worker_thread():
+    """`next(iter(loader))` abandons the prefetch generator; the worker
+    thread must notice and exit instead of blocking in q.put forever (one
+    leaked thread per checkpoint preview otherwise)."""
+    import gc
+    import threading
+    import time
+
+    loader = DataLoader(_Range(64), batch_size=4, prefetch=1)
+    before = threading.active_count()
+    for _ in range(10):
+        batch = next(iter(loader))
+        assert batch.shape == (4, 2, 4, 4)
+    gc.collect()
+    deadline = time.monotonic() + 5.0
+    while (threading.active_count() > before + 1
+           and time.monotonic() < deadline):
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1
