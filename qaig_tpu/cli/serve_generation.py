@@ -92,8 +92,20 @@ def main():
                               batch_multiple=batch_multiple,
                               max_queue_rows=args.max_queue_rows,
                               request_timeout=args.request_timeout)
-    print(f"serving on http://{args.host}:{server.port}")
-    server.start(background=False)
+    print(f"serving on http://{args.host}:{server.port}", flush=True)
+
+    # Graceful drain on SIGTERM/SIGINT (rolling restarts): stop accepting,
+    # finish the in-flight dispatch and everything already queued, exit 0.
+    import signal
+    import threading
+    stop_evt = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop_evt.set())
+    server.start(background=True)
+    stop_evt.wait()
+    print("shutting down: draining queued requests...", flush=True)
+    server.stop()
+    print("drained; bye.", flush=True)
 
 
 if __name__ == "__main__":

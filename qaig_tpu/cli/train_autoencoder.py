@@ -57,6 +57,11 @@ def main():
                         help="ZeRO-1: shard Adam moments over the data "
                              "axis (each chip stores/updates 1/data of "
                              "the optimizer state).")
+    parser.add_argument("--keep-checkpoints", type=int, default=None,
+                        help="Retention: keep only the N newest checkpoints "
+                             "in --out-dir, pruning older ones after each "
+                             "successful save (default: keep all, like the "
+                             "reference).")
     parser.add_argument("--checkpoint-backend",
                         choices=["pickle", "orbax", "orbax-async"],
                         default="pickle",

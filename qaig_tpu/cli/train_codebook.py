@@ -41,6 +41,11 @@ def main():
     parser.add_argument("--num-model-shards", type=int, default=1,
                         help="Tensor-parallel shards over the mesh's model "
                              "axis (1 = pure data parallel).")
+    parser.add_argument("--keep-checkpoints", type=int, default=None,
+                        help="Retention: keep only the N newest checkpoints "
+                             "in --out-dir, pruning older ones after each "
+                             "successful save (default: keep all, like the "
+                             "reference).")
     parser.add_argument("--checkpoint-backend",
                         choices=["pickle", "orbax", "orbax-async"],
                         default="pickle",

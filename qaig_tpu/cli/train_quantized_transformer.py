@@ -95,6 +95,11 @@ def main():
                              "of the weights (decay per step, e.g. 0.999); "
                              "saved as model_ema in every checkpoint and "
                              "served via generate_images.py --use-ema.")
+    parser.add_argument("--keep-checkpoints", type=int, default=None,
+                        help="Retention: keep only the N newest checkpoints "
+                             "in --out-dir, pruning older ones after each "
+                             "successful save (default: keep all, like the "
+                             "reference).")
     parser.add_argument("--checkpoint-backend",
                         choices=["pickle", "orbax", "orbax-async"],
                         default="pickle",

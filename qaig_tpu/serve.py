@@ -372,7 +372,13 @@ class GenerationServer:
                 except Exception as e:  # surface as a JSON 500, keep serving
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            # graceful drain: server_close() waits for handler threads, so
+            # every accepted request gets its response before stop() returns
+            daemon_threads = False
+            block_on_close = True
+
+        self._httpd = _Server((host, port), Handler)
         self._thread = None
 
     @property
@@ -388,8 +394,11 @@ class GenerationServer:
             self._httpd.serve_forever()
 
     def stop(self):
-        self._httpd.shutdown()
-        self._httpd.server_close()
+        """Graceful drain: stop accepting, serve the in-flight dispatch and
+        everything already queued, wait for the handler threads to write
+        their responses, then return."""
+        self._httpd.shutdown()      # stop the accept loop
+        self.batcher.stop()         # drain pending; submit() calls return
+        self._httpd.server_close()  # block_on_close: join handler threads
         if self._thread is not None:
             self._thread.join(timeout=5)
-        self.batcher.stop()

@@ -109,6 +109,33 @@ def put_global_batch(sharding, local_batch):
     return jax.make_array_from_process_local_data(sharding, local_batch)
 
 
+def prune_checkpoints(out_dir, keep, prefix="model", logging=None):
+    """Retention policy backing ``--keep-checkpoints``: delete all but the
+    ``keep`` newest ``<prefix>_<N>.pt`` / ``.pt.orbax`` checkpoints under
+    ``<out_dir>/models_checkpoint``.  Call only after a successful save (the
+    reference keeps every checkpoint; this is opt-in)."""
+    import pathlib
+    import re
+    import shutil
+    if not keep or keep < 1:
+        return
+    d = pathlib.Path(out_dir) / "models_checkpoint"
+    if not d.is_dir():
+        return
+    pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.pt(\.orbax)?")
+    found = [(int(m.group(1)), p) for p in d.iterdir()
+             if (m := pat.fullmatch(p.name))]
+    for _, p in sorted(found, reverse=True)[keep:]:
+        try:
+            shutil.rmtree(p) if p.is_dir() else p.unlink()
+            if logging is not None:
+                logging(f"Pruned old checkpoint {p.name} "
+                        f"(--keep-checkpoints {keep}).")
+        except OSError as e:
+            if logging is not None:
+                logging(f"Could not prune {p}: {e}")
+
+
 def apply_debug_flags(args):
     """--debug-nans: jax-native equivalent of the reference's NaN guard,
     failing at the op that produced the NaN instead of at the loss check

@@ -474,3 +474,69 @@ def test_request_batcher_groups_by_temperature():
     # request runs alone (different program)
     assert calls[0] == (1, None)
     assert sorted(calls[1:]) == [(1, None), (2, 2.0)], calls
+
+
+@pytest.mark.slow
+def test_serve_cli_graceful_shutdown(gen_config, tmp_path):
+    """SIGTERM during an in-flight request: the server drains (the client
+    still gets its 200) and the process exits 0 after logging the drain."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    config, decoder_path = gen_config
+    cfg_path = tmp_path / "gen.json"
+    cfg_path.write_text(json.dumps(config))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    proc = subprocess.Popen(
+        [sys.executable, "serve_generation.py", "--device", "cpu",
+         "--config-path", str(cfg_path), "--decoder-path", decoder_path,
+         "--port", str(port), "--max-batch", "4"],
+        cwd=".", env=env, text=True,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        base = f"http://127.0.0.1:{port}"
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(base + "/healthz", timeout=2):
+                    break
+            except OSError:
+                time.sleep(1.0)
+        else:
+            raise AssertionError("server never came up")
+
+        result = {}
+
+        def post():
+            # first request compiles (~10-40 s on CPU): SIGTERM lands while
+            # this is in flight
+            result["resp"] = _post(base + "/generate",
+                                   {"num_images": 2, "seed": 1})
+
+        t = threading.Thread(target=post)
+        t.start()
+        time.sleep(2.0)
+        proc.send_signal(signal.SIGTERM)
+        t.join(timeout=180)
+        assert not t.is_alive(), "client never got its response"
+        status, out = result["resp"]
+        assert status == 200
+        assert np.asarray(out["tokens"]).shape == (2, 4)
+
+        stdout, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, stdout[-2000:]
+        assert "draining" in stdout and "drained; bye." in stdout
+    finally:
+        if proc.poll() is None:
+            proc.kill()

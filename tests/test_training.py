@@ -536,3 +536,25 @@ def test_autoencoder_auto_resume_from_orbax(tmp_path):
               if np.ndim(leaf) == 0 and np.issubdtype(
                   np.asarray(leaf).dtype, np.integer)]
     assert 5 in counts, counts
+
+
+def test_keep_checkpoints_retention(tmp_path):
+    """--keep-checkpoints N prunes older checkpoints after each successful
+    save; the newest N always survive."""
+    from qaig_tpu.train import autoencoder
+
+    manifest = _image_dataset(tmp_path)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "model_lr": 1e-3, "image_channel": 3, "min_channel": 8,
+        "max_channel": 16, "num_layers": 1, "latent_channel": 2,
+        "hidden_activation_type": "silu",
+        "use_final_enc_activation": True, "encoder_activation_type": "tanh",
+        "use_final_dec_activation": True, "decoder_activation_type": "tanh"}))
+    out = tmp_path / "run"
+    autoencoder.run({"dataset_path": manifest, "config_path": cfg_path,
+                     "out_dir": out, "batch_size": 4, "checkpoint_step": 1,
+                     "lr_step": 100, "max_epoch": 10, "max_steps": 5,
+                     "keep_checkpoints": 2})
+    names = sorted(p.name for p in (out / "models_checkpoint").iterdir())
+    assert names == ["model_3.pt", "model_4.pt"], names
