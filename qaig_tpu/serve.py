@@ -25,7 +25,9 @@ Endpoints
 ``GET /healthz``                           liveness -> ``{"status": "ok"}``
 ``GET /metrics``                           serving counters: requests/images/
     errors totals, dispatch counts (+how many were coalesced), padded-row
-    waste, dispatch latency (last/mean/max), queue depth, uptime
+    waste, dispatch latency (last/mean/max), queue depth, uptime.  JSON by
+    default; Prometheus text exposition via ``?format=prometheus`` or an
+    ``Accept: text/plain`` header (``qaig_``-prefixed gauges)
 ``POST /generate`` ``{"num_images": N, "seed": S, "return_images": bool,
     "temperature": T}``
     -> ``{"tokens": [[...]], "shape": [...], "images_png_b64": [...]}``
@@ -311,8 +313,29 @@ class GenerationServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._reply(200, {"status": "ok"})
-                elif self.path == "/metrics":
-                    self._reply(200, server.batcher.metrics())
+                elif self.path.split("?")[0] == "/metrics":
+                    snap = server.batcher.metrics()
+                    if "format=prometheus" in self.path or \
+                            "text/plain" in (self.headers.get("Accept")
+                                             or ""):
+                        # Prometheus text exposition: one gauge per numeric
+                        # counter, qaig_ prefixed
+                        lines = []
+                        for key, value in sorted(snap.items()):
+                            if isinstance(value, bool) or not isinstance(
+                                    value, (int, float)):
+                                continue
+                            lines.append(f"# TYPE qaig_{key} gauge")
+                            lines.append(f"qaig_{key} {value}")
+                        body = ("\n".join(lines) + "\n").encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/plain; version=0.0.4")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    else:
+                        self._reply(200, snap)
                 else:
                     self._reply(404, {"error": "not found"})
 

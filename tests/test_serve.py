@@ -128,6 +128,15 @@ def test_generation_server_end_to_end(gen_config):
         assert m["uptime_seconds"] > 0
         assert m["queue_depth"] == 0
 
+        # Prometheus text exposition of the same counters
+        with urllib.request.urlopen(base + "/metrics?format=prometheus") \
+                as resp:
+            assert resp.status == 200
+            assert "text/plain" in resp.headers["Content-Type"]
+            text = resp.read().decode()
+        assert "qaig_requests_total 3" in text
+        assert "# TYPE qaig_images_total gauge" in text
+
         # per-request temperature override: serves (compiling its own
         # programs once); sub-0.1 values are rejected like the reference's
         # restricted_float
