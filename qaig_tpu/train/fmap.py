@@ -102,6 +102,16 @@ def run(args):
     common.maybe_init_distributed(args)
     out_dir = common.ensure_dir(args["out_dir"])
 
+    # Single-writer stage: under --multihost only process 0 encodes and
+    # writes (the stage is disk-bound and the manifest/.npy paths are one
+    # namespace — concurrent writers would race on the same files); the
+    # rest wait at a barrier so every process returns after the manifest
+    # is durable.
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("qaig_fmap_done")
+        return os.path.join(str(out_dir), "all_dataset.json")
+
     status, ckpt = load_model(args["model_path"])
     if not status:
         raise RuntimeError(
@@ -112,6 +122,10 @@ def run(args):
     loader = DataLoader(dataset, batch_size=args.get("batch_size", 8),
                         shuffle=True, seed=args.get("seed", 0),
                         drop_remainder=False)
-    return save_feature_maps(
+    manifest_path = save_feature_maps(
         model, params, loader, out_dir,
         num_files_folder=args.get("num_files_folder", 1_000))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("qaig_fmap_done")
+    return manifest_path

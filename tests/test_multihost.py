@@ -181,3 +181,51 @@ def test_abandoned_iterator_releases_worker_thread():
            and time.monotonic() < deadline):
         time.sleep(0.1)
     assert threading.active_count() <= before + 1
+
+
+@pytest.mark.slow
+def test_two_process_multihost_fmap_generation(tmp_path):
+    """generate_fmap_dataset under --multihost: single-writer semantics —
+    process 0 encodes and writes everything, process 1 waits at the barrier;
+    both exit 0 and the manifest covers the dataset exactly once."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    for i in range(10):
+        arr = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+        p = str(img_dir / f"{i}.png")
+        Image.fromarray(arr).save(p)
+        rows.append({"image_fpath": p, "labels": []})
+    dataset_json = str(tmp_path / "dataset.json")
+    write_manifest(dataset_json, rows)
+    fx = _build_fixtures(tmp_path)  # reuses its AE checkpoint
+
+    out_dir = tmp_path / "fmaps"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+
+    def spawn(pid):
+        return subprocess.Popen(
+            [sys.executable, "generate_fmap_dataset.py", "--device", "cpu",
+             "--dataset-path", dataset_json, "--model-path", fx["ae"],
+             "--out-dir", str(out_dir), "--batch-size", "4",
+             "--multihost", "--coordinator-address", "localhost:29537",
+             "--num-processes", "2", "--process-id", str(pid)],
+            cwd=".", env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+    procs = [spawn(0), spawn(1)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid}:\n{out[-3000:]}"
+
+    manifest = json.load(open(out_dir / "all_dataset.json"))["_default"]
+    assert len(manifest) == 10  # every image exactly once (no double write)
+    for row in manifest.values():
+        assert os.path.exists(row["fmap_path"])
+    # only process 0 wrote (its console has the progress log)
+    assert "Saving Feature Maps" in outs[0]
+    assert "Saving Feature Maps" not in outs[1]
