@@ -205,8 +205,11 @@ def run(args):
             lr_input = None
             # save the conditioning reconstruction, like the reference
             lr_quant = lr_codebook.get_quantized_image(lr_params, init_tokens)
-            save_images(np.asarray(decode_image(dec_params, lr_quant)),
-                        "recon_model_Cond", out_dir, logging=print)
+            cond = common.gather_replicated(decode_image(dec_params,
+                                                         lr_quant))
+            if common.is_main_process():
+                save_images(np.asarray(cond), "recon_model_Cond", out_dir,
+                            logging=print)
         else:
             lr_input = prev_tokens
             init_tokens = jnp.full((num_images, 1), hr_num_embeddings,
@@ -219,9 +222,12 @@ def run(args):
             lr_input=lr_input, init_tokens=init_tokens, mesh=mesh)
 
         hr_quant = hr_codebook.get_quantized_image(hr_params, tokens)
-        recon = decode_image(dec_params, hr_quant)
-        save_images(np.asarray(recon), f"recon_model_{index}", out_dir,
-                    logging=print)
+        # gather before host transfer: under multihost the batch is sharded
+        # across non-addressable devices; only process 0 writes
+        recon = common.gather_replicated(decode_image(dec_params, hr_quant))
+        if common.is_main_process():
+            save_images(np.asarray(recon), f"recon_model_{index}", out_dir,
+                        logging=print)
 
         prev_tokens = tokens
     profiler.close()

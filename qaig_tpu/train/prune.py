@@ -60,6 +60,14 @@ def run(args):
     common.apply_compilation_cache(args)
     common.maybe_init_distributed(args)
     out_dir = common.ensure_dir(args["out_dir"])
+
+    # Single-writer stage (like fmap generation): under --multihost only
+    # process 0 computes the histogram and writes pruned_codebook.pt.
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("qaig_prune_done")
+        return None, None
+
     log = setup_logging(out_dir, PROJECT_NAME)
 
     status, cb_ckpt = load_model(args["codebook_path"], logging=log.info)
@@ -101,4 +109,7 @@ def run(args):
     if not wait_pending_saves(logging=log.info):  # join async write
         raise RuntimeError(
             "An error occured while saving model checkpoint!")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("qaig_prune_done")
     return new_model, new_params

@@ -229,3 +229,60 @@ def test_two_process_multihost_fmap_generation(tmp_path):
     # only process 0 wrote (its console has the progress log)
     assert "Saving Feature Maps" in outs[0]
     assert "Saving Feature Maps" not in outs[1]
+
+
+@pytest.mark.slow
+def test_two_process_multihost_generation(tmp_path):
+    """generate_images under --multihost: the batch shards over the global
+    2-process mesh, reconstructions gather before the host transfer, and
+    only process 0 writes the image grids."""
+    import jax
+    from qaig_tpu.models.transformer import Transformer
+    from qaig_tpu.train import common
+    from qaig_tpu.train.transformer import (build_transformer_config,
+                                            checkpoint_dict)
+    from qaig_tpu.utils import save_model
+
+    fx = _build_fixtures(tmp_path)
+    tcfg = build_transformer_config(
+        {"use_sliding_window": False, "num_dec_layers": 2,
+         "self_attn_heads": 2, "in_dim": 16, "hidden_dim": 32,
+         "hidden_activation": "silu"},
+        train_base_model=True, lr_num_embeddings=4, hr_num_embeddings=8)
+    tf = Transformer(tcfg)
+    tf_ckpt = checkpoint_dict(tcfg, {"model_lr": 1e-3}, True, None,
+                              None, None)
+    tf_ckpt["model"] = common.model_state_dict(
+        tf.init(jax.random.PRNGKey(2)))
+    save_model(tf_ckpt, tmp_path, "tf.pt", logging=lambda m: None)
+
+    gen_cfg = tmp_path / "gen.json"
+    gen_cfg.write_text(json.dumps({
+        "0": {"model_path": str(tmp_path / "models_checkpoint" / "tf.pt"),
+              "lr_codebook_path": fx["cb_a"],
+              "hr_codebook_path": fx["cb_b"],
+              "beam_width": 2, "num_beam": 2, "temperature": 1.0}}))
+
+    out_dir = tmp_path / "gen"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+
+    def spawn(pid):
+        return subprocess.Popen(
+            [sys.executable, "generate_images.py", "--device", "cpu",
+             "--config-path", str(gen_cfg), "--decoder-path", fx["ae"],
+             "--num-images", "2", "--seed", "7", "--out-dir", str(out_dir),
+             "--multihost", "--coordinator-address", "localhost:29541",
+             "--num-processes", "2", "--process-id", str(pid)],
+            cwd=".", env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+
+    procs = [spawn(0), spawn(1)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid}:\n{out[-3000:]}"
+
+    assert (out_dir / "images" / "recon_model_Cond.jpg").exists()
+    assert (out_dir / "images" / "recon_model_0.jpg").exists()
+    assert "Saving image" in outs[0]
+    assert "Saving image" not in outs[1]
