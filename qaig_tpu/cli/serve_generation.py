@@ -96,13 +96,21 @@ def main():
 
     # Graceful drain on SIGTERM/SIGINT (rolling restarts): stop accepting,
     # finish the in-flight dispatch and everything already queued, exit 0.
+    # The handler only flips a plain flag (no locks — Event.set() from a
+    # signal handler can deadlock against Event.wait() on the same thread);
+    # the sleep below is interrupted by the signal, so shutdown is prompt.
     import signal
-    import threading
-    stop_evt = threading.Event()
+    import time
+    stop_flag = {"stop": False}
+
+    def _on_signal(*_):
+        stop_flag["stop"] = True
+
     for sig in (signal.SIGTERM, signal.SIGINT):
-        signal.signal(sig, lambda *_: stop_evt.set())
+        signal.signal(sig, _on_signal)
     server.start(background=True)
-    stop_evt.wait()
+    while not stop_flag["stop"]:
+        time.sleep(0.2)
     print("shutting down: draining queued requests...", flush=True)
     server.stop()
     print("drained; bye.", flush=True)

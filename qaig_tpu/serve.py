@@ -174,7 +174,8 @@ class RequestBatcher:
                 "event": threading.Event(), "result": None, "error": None}
         with self._cv:
             if self._stop:
-                raise RuntimeError("server is shutting down")
+                # retryable for LB clients during rolling restarts (503)
+                raise ServerOverloadedError("server is shutting down")
             depth = sum(r["num"] for r in self._pending)
             if depth + num > self.max_queue_rows:
                 self._stats["rejected_total"] += 1
@@ -297,6 +298,11 @@ class GenerationServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # bound every connection's socket reads: an idle/half-open
+            # client can otherwise hold a non-daemon handler thread open
+            # forever, wedging the graceful drain in server_close()
+            timeout = 30
+
             def log_message(self, fmt, *args):  # quiet by default
                 pass
 
@@ -311,21 +317,29 @@ class GenerationServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/healthz":
+                from urllib.parse import parse_qs, urlsplit
+                parts = urlsplit(self.path)
+                if parts.path == "/healthz":
                     self._reply(200, {"status": "ok"})
-                elif self.path.split("?")[0] == "/metrics":
+                elif parts.path == "/metrics":
                     snap = server.batcher.metrics()
-                    if "format=prometheus" in self.path or \
-                            "text/plain" in (self.headers.get("Accept")
-                                             or ""):
-                        # Prometheus text exposition: one gauge per numeric
-                        # counter, qaig_ prefixed
+                    accepts_text = any(
+                        part.strip().startswith("text/plain")
+                        for part in (self.headers.get("Accept")
+                                     or "").split(","))
+                    wants_prom = (parse_qs(parts.query).get(
+                        "format") == ["prometheus"]) or accepts_text
+                    if wants_prom:
+                        # Prometheus text exposition, qaig_ prefixed;
+                        # monotonic *_total keys are counters
                         lines = []
                         for key, value in sorted(snap.items()):
                             if isinstance(value, bool) or not isinstance(
                                     value, (int, float)):
                                 continue
-                            lines.append(f"# TYPE qaig_{key} gauge")
+                            kind = ("counter" if key.endswith("_total")
+                                    else "gauge")
+                            lines.append(f"# TYPE qaig_{key} {kind}")
                             lines.append(f"qaig_{key} {value}")
                         body = ("\n".join(lines) + "\n").encode()
                         self.send_response(200)

@@ -309,13 +309,10 @@ def run(args):
                     log.info("Successfully saved model." if save_status
                              else "Error occured saving model.")
                     if save_status and args.get("keep_checkpoints"):
-                        # orbax-async: the newest save may still be
-                        # committing — keep one extra behind it
-                        margin = (1 if args.get("checkpoint_backend")
-                                  == "orbax-async" else 0)
                         common.prune_checkpoints(
-                            out_dir, int(args["keep_checkpoints"]) + margin,
-                            logging=log.info)
+                            out_dir, int(args["keep_checkpoints"]),
+                            logging=log.info,
+                            backend=args.get("checkpoint_backend"))
                     save_images(np.asarray(gt),
                                 f"ground_truth_{global_steps}", out_dir,
                                 logging=log.info)

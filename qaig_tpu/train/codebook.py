@@ -222,13 +222,10 @@ def run(args):
                     log.info("Successfully saved codebook." if save_status
                              else "Error occured saving codebook.")
                     if save_status and args.get("keep_checkpoints"):
-                        # orbax-async: the newest save may still be
-                        # committing — keep one extra behind it
-                        margin = (1 if args.get("checkpoint_backend")
-                                  == "orbax-async" else 0)
                         common.prune_checkpoints(
-                            out_dir, int(args["keep_checkpoints"]) + margin,
-                            prefix="codebook", logging=log.info)
+                            out_dir, int(args["keep_checkpoints"]),
+                            prefix="codebook", logging=log.info,
+                            backend=args.get("checkpoint_backend"))
 
             lr_now = optim.current_lr(model_lr, lr_update_step,
                                       global_steps + 1)

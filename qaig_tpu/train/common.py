@@ -109,11 +109,28 @@ def put_global_batch(sharding, local_batch):
     return jax.make_array_from_process_local_data(sharding, local_batch)
 
 
-def prune_checkpoints(out_dir, keep, prefix="model", logging=None):
+def single_writer_barrier(tag):
+    """Join the cross-process barrier that single-writer stages (fmap,
+    prune) use so every process returns only after process 0's writes are
+    durable.  No-op single-process.  Writers should call this from a
+    ``finally`` so a failing process 0 still releases the waiters (they
+    proceed; downstream file checks surface the failure) instead of
+    hanging them in the collective."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
+def prune_checkpoints(out_dir, keep, prefix="model", logging=None,
+                      backend=None):
     """Retention policy backing ``--keep-checkpoints``: delete all but the
     ``keep`` newest ``<prefix>_<N>.pt`` / ``.pt.orbax`` checkpoints under
     ``<out_dir>/models_checkpoint``.  Call only after a successful save (the
-    reference keeps every checkpoint; this is opt-in)."""
+    reference keeps every checkpoint; this is opt-in).  ``backend``:
+    under ``orbax-async`` the newest save may still be committing, so one
+    extra checkpoint is retained behind it."""
+    if keep and backend == "orbax-async":
+        keep = int(keep) + 1
     import pathlib
     import re
     import shutil

@@ -106,26 +106,26 @@ def run(args):
     # writes (the stage is disk-bound and the manifest/.npy paths are one
     # namespace — concurrent writers would race on the same files); the
     # rest wait at a barrier so every process returns after the manifest
-    # is durable.
+    # is durable.  The writer reaches the barrier from a finally so a
+    # failure releases the waiters instead of hanging them.
     if jax.process_count() > 1 and jax.process_index() != 0:
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("qaig_fmap_done")
+        common.single_writer_barrier("qaig_fmap_done")
         return os.path.join(str(out_dir), "all_dataset.json")
 
-    status, ckpt = load_model(args["model_path"])
-    if not status:
-        raise RuntimeError(
-            "An error occured while loading Encoder model checkpoint!")
-    model, params, _ = encoder_from_checkpoint(ckpt)
+    try:
+        status, ckpt = load_model(args["model_path"])
+        if not status:
+            raise RuntimeError(
+                "An error occured while loading Encoder model checkpoint!")
+        model, params, _ = encoder_from_checkpoint(ckpt)
 
-    dataset = ImageDataset(args["dataset_path"], return_filepaths=True)
-    loader = DataLoader(dataset, batch_size=args.get("batch_size", 8),
-                        shuffle=True, seed=args.get("seed", 0),
-                        drop_remainder=False)
-    manifest_path = save_feature_maps(
-        model, params, loader, out_dir,
-        num_files_folder=args.get("num_files_folder", 1_000))
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("qaig_fmap_done")
+        dataset = ImageDataset(args["dataset_path"], return_filepaths=True)
+        loader = DataLoader(dataset, batch_size=args.get("batch_size", 8),
+                            shuffle=True, seed=args.get("seed", 0),
+                            drop_remainder=False)
+        manifest_path = save_feature_maps(
+            model, params, loader, out_dir,
+            num_files_folder=args.get("num_files_folder", 1_000))
+    finally:
+        common.single_writer_barrier("qaig_fmap_done")
     return manifest_path

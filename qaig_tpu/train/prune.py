@@ -62,12 +62,20 @@ def run(args):
     out_dir = common.ensure_dir(args["out_dir"])
 
     # Single-writer stage (like fmap generation): under --multihost only
-    # process 0 computes the histogram and writes pruned_codebook.pt.
+    # process 0 computes the histogram and writes pruned_codebook.pt; the
+    # writer hits the barrier via try/finally so a failure releases the
+    # waiters instead of hanging them.
     if jax.process_count() > 1 and jax.process_index() != 0:
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("qaig_prune_done")
+        common.single_writer_barrier("qaig_prune_done")
         return None, None
 
+    try:
+        return _run_writer(args, out_dir)
+    finally:
+        common.single_writer_barrier("qaig_prune_done")
+
+
+def _run_writer(args, out_dir):
     log = setup_logging(out_dir, PROJECT_NAME)
 
     status, cb_ckpt = load_model(args["codebook_path"], logging=log.info)
@@ -109,7 +117,4 @@ def run(args):
     if not wait_pending_saves(logging=log.info):  # join async write
         raise RuntimeError(
             "An error occured while saving model checkpoint!")
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices("qaig_prune_done")
     return new_model, new_params

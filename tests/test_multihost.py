@@ -28,6 +28,15 @@ class _Range:
         return np.full((2, 4, 4), float(i), np.float32)
 
 
+def _free_port():
+    """OS-assigned port for jax.distributed coordination (hardcoded ports
+    collide across concurrent test runs on one machine)."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def test_dataloader_process_slices_are_complementary():
     """Every process draws the same shuffled order and yields its contiguous
     slice; concatenated slices == the single-process global batch."""
@@ -127,6 +136,8 @@ def test_two_process_multihost_training(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # 1 local device per process
 
+    port = _free_port()
+
     def spawn(pid):
         return subprocess.Popen(
             [sys.executable, "train_quantized_transformer.py",
@@ -138,7 +149,7 @@ def test_two_process_multihost_training(tmp_path):
              "--config-path", fx["cfg"], "--out-dir", str(out_dir),
              "--batch-size", "4", "--checkpoint-step", "2",
              "--max-steps", "3", "--test-num-sample", "4",
-             "--multihost", "--coordinator-address", "localhost:29531",
+             "--multihost", "--coordinator-address", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(pid)],
             cwd=".", env=env, text=True,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
@@ -207,12 +218,14 @@ def test_two_process_multihost_fmap_generation(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
 
+    port = _free_port()
+
     def spawn(pid):
         return subprocess.Popen(
             [sys.executable, "generate_fmap_dataset.py", "--device", "cpu",
              "--dataset-path", dataset_json, "--model-path", fx["ae"],
              "--out-dir", str(out_dir), "--batch-size", "4",
-             "--multihost", "--coordinator-address", "localhost:29537",
+             "--multihost", "--coordinator-address", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(pid)],
             cwd=".", env=env, text=True,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
@@ -267,12 +280,14 @@ def test_two_process_multihost_generation(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
 
+    port = _free_port()
+
     def spawn(pid):
         return subprocess.Popen(
             [sys.executable, "generate_images.py", "--device", "cpu",
              "--config-path", str(gen_cfg), "--decoder-path", fx["ae"],
              "--num-images", "2", "--seed", "7", "--out-dir", str(out_dir),
-             "--multihost", "--coordinator-address", "localhost:29541",
+             "--multihost", "--coordinator-address", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(pid)],
             cwd=".", env=env, text=True,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT)

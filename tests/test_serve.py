@@ -135,7 +135,8 @@ def test_generation_server_end_to_end(gen_config):
             assert "text/plain" in resp.headers["Content-Type"]
             text = resp.read().decode()
         assert "qaig_requests_total 3" in text
-        assert "# TYPE qaig_images_total gauge" in text
+        assert "# TYPE qaig_images_total counter" in text
+        assert "# TYPE qaig_queue_depth gauge" in text
 
         # per-request temperature override: serves (compiling its own
         # programs once); sub-0.1 values are rejected like the reference's
