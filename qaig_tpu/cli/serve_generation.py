@@ -78,11 +78,15 @@ def main():
               + (f" (num_images must be a multiple of {batch_multiple})"
                  if batch_multiple > 1 else ""))
 
-    config = common.load_config(args.config_path)
-    pipe = CascadePipeline.from_config(
-        config, args.decoder_path, mesh=mesh,
-        dtype=jnp.bfloat16 if args.bf16 else None,
-        use_ema=args.use_ema)
+    def build_pipeline():
+        # re-read the config too, so a reload picks up both new checkpoint
+        # bytes and updated checkpoint paths inside the same config file
+        return CascadePipeline.from_config(
+            common.load_config(args.config_path), args.decoder_path,
+            mesh=mesh, dtype=jnp.bfloat16 if args.bf16 else None,
+            use_ema=args.use_ema)
+
+    pipe = build_pipeline()
     if args.warmup_batch > 0:
         pipe.generate(args.warmup_batch, seed=0)
         print(f"warmed up at batch {args.warmup_batch}")
@@ -91,7 +95,8 @@ def main():
                               max_batch=args.max_batch,
                               batch_multiple=batch_multiple,
                               max_queue_rows=args.max_queue_rows,
-                              request_timeout=args.request_timeout)
+                              request_timeout=args.request_timeout,
+                              reloader=build_pipeline)
     print(f"serving on http://{args.host}:{server.port}", flush=True)
 
     # Graceful drain on SIGTERM/SIGINT (rolling restarts): stop accepting,

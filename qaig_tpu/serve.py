@@ -28,6 +28,13 @@ Endpoints
     waste, dispatch latency (last/mean/max), queue depth, uptime.  JSON by
     default; Prometheus text exposition via ``?format=prometheus`` or an
     ``Accept: text/plain`` header (``qaig_``-prefixed gauges)
+``POST /reload``                           re-read the checkpoints this
+    server was started with (continuous training -> serving refresh): a
+    new pipeline is built from the SAME config/decoder paths and swapped
+    in atomically between dispatches; in-flight requests finish on the old
+    weights.  Requires the server to be constructed with a ``reloader``
+    (the CLI wires one).  Responds ``{"status": "reloaded", ...}`` or 503
+    while another reload is running.
 ``POST /generate`` ``{"num_images": N, "seed": S, "return_images": bool,
     "temperature": T}``
     -> ``{"tokens": [[...]], "shape": [...], "images_png_b64": [...]}``
@@ -125,7 +132,7 @@ class RequestBatcher:
         # observability counters (read under _cv via metrics())
         self._stats = {
             "requests_total": 0, "images_total": 0, "errors_total": 0,
-            "rejected_total": 0, "timeouts_total": 0,
+            "rejected_total": 0, "timeouts_total": 0, "reloads_total": 0,
             "dispatches_total": 0, "coalesced_dispatches_total": 0,
             "padded_rows_total": 0, "dispatch_seconds_total": 0.0,
             "last_dispatch_seconds": 0.0, "max_dispatch_seconds": 0.0,
@@ -197,6 +204,13 @@ class RequestBatcher:
             raise item["error"]
         return item["result"]
 
+    def swap_pipeline(self, new_pipeline):
+        """Atomically route future dispatches to ``new_pipeline`` (hot
+        checkpoint reload); the in-flight dispatch finishes on the old."""
+        with self._cv:
+            self.pipeline = new_pipeline
+            self._stats["reloads_total"] += 1
+
     def _loop(self):
         while True:
             with self._cv:
@@ -204,6 +218,7 @@ class RequestBatcher:
                     self._cv.wait()
                 if self._stop and not self._pending:
                     return
+                pipeline = self.pipeline  # stable for this dispatch
                 head = self._pending.pop(0)
                 batch, total = [head], head["num"]
                 # merge every waiting request that shares the head's
@@ -238,8 +253,8 @@ class RequestBatcher:
             try:
                 kwargs = ({} if batch[0]["temp"] is None
                           else {"temperature": batch[0]["temp"]})
-                images, tokens = self.pipeline.generate(padded, seed=seed,
-                                                        **kwargs)
+                images, tokens = pipeline.generate(padded, seed=seed,
+                                                   **kwargs)
                 images, tokens = np.asarray(images), np.asarray(tokens)
                 offset = 0
                 for req in batch:
@@ -287,10 +302,16 @@ class GenerationServer:
     """
 
     def __init__(self, pipeline, host="127.0.0.1", port=8000, max_batch=64,
-                 batch_multiple=1, max_queue_rows=None, request_timeout=None):
+                 batch_multiple=1, max_queue_rows=None, request_timeout=None,
+                 reloader=None):
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.batch_multiple = max(1, batch_multiple)
+        # ``reloader``: zero-arg callable returning a fresh pipeline built
+        # from the same on-disk paths; enables POST /reload (hot checkpoint
+        # refresh).  One reload at a time.
+        self.reloader = reloader
+        self._reload_lock = threading.Lock()
         self.batcher = RequestBatcher(pipeline, max_batch=max_batch,
                                       batch_multiple=self.batch_multiple,
                                       max_queue_rows=max_queue_rows,
@@ -354,6 +375,29 @@ class GenerationServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/reload":
+                    if server.reloader is None:
+                        self._reply(400, {
+                            "error": "this server was started without a "
+                                     "reloader"})
+                        return
+                    if not server._reload_lock.acquire(blocking=False):
+                        self._reply(503, {"error": "reload in progress"},
+                                    headers={"Retry-After": "5"})
+                        return
+                    try:
+                        new_pipe = server.reloader()
+                        server.batcher.swap_pipeline(new_pipe)
+                        server.pipeline = new_pipe
+                        self._reply(200, {"status": "reloaded"})
+                    except Exception as e:  # keep serving the old weights
+                        self._reply(500, {
+                            "error": f"reload failed, still serving the "
+                                     f"previous weights: "
+                                     f"{type(e).__name__}: {e}"})
+                    finally:
+                        server._reload_lock.release()
+                    return
                 if self.path != "/generate":
                     self._reply(404, {"error": "not found"})
                     return

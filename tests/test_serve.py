@@ -550,3 +550,63 @@ def test_serve_cli_graceful_shutdown(gen_config, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_server_hot_reload(gen_config):
+    """POST /reload swaps in a pipeline rebuilt from the same on-disk paths:
+    after overwriting the stage-0 checkpoint, the same seed generates with
+    the NEW weights; servers without a reloader reply 400."""
+    import pathlib
+
+    from qaig_tpu.infer.pipeline import CascadePipeline
+    from qaig_tpu.serve import GenerationServer
+    from qaig_tpu.train import common as train_common
+
+    config, decoder_path = gen_config
+
+    def build():
+        return CascadePipeline.from_config(config, decoder_path,
+                                           logging=lambda m: None)
+
+    server = GenerationServer(build(), port=0, max_batch=4, reloader=build)
+    server.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        _, out1 = _post(base + "/generate", {"num_images": 2, "seed": 5})
+
+        # training wrote a new checkpoint under the same path
+        tf_path = pathlib.Path(config["0"]["model_path"])
+        tcfg = build_transformer_config(
+            {"use_sliding_window": False, "num_dec_layers": 1,
+             "self_attn_heads": 2, "in_dim": 16, "hidden_dim": 32,
+             "hidden_activation": "silu"},
+            train_base_model=True, lr_num_embeddings=8, hr_num_embeddings=8)
+        new_ckpt = checkpoint_dict(tcfg, {"model_lr": 1e-3}, True, None,
+                                   None, None)
+        new_ckpt["model"] = train_common.model_state_dict(
+            Transformer(tcfg).init(jax.random.PRNGKey(99)))
+        save_model(new_ckpt, tf_path.parent.parent, tf_path.name,
+                   logging=lambda m: None)
+
+        status, r = _post(base + "/reload", {})
+        assert status == 200 and r["status"] == "reloaded"
+
+        _, out2 = _post(base + "/generate", {"num_images": 2, "seed": 5})
+        assert out2["tokens"] != out1["tokens"]  # new weights serve
+
+        with urllib.request.urlopen(base + "/metrics") as resp:
+            assert json.loads(resp.read())["reloads_total"] == 1
+    finally:
+        server.stop()
+
+    # without a reloader the endpoint is a 400, not a crash
+    server2 = GenerationServer(build(), port=0, max_batch=4)
+    server2.start()
+    try:
+        try:
+            _post(f"http://127.0.0.1:{server2.port}/reload", {})
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server2.stop()
