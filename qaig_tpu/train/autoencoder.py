@@ -268,6 +268,8 @@ def run(args):
     log.info("#" * 100)
 
     log_every = args.get("log_every", 1)
+    import time as _time
+    throughput = common.ThroughputMeter(batch_size, _time.monotonic)
     # A checkpoint saved at counter N already contains update N+1 (the
     # train step precedes the save in the loop); resume continues at N+1
     # so a preempted run applies exactly the updates an uninterrupted one
@@ -329,7 +331,9 @@ def run(args):
                         global_steps + 1, index + 1, len(loader), lr_now,
                         avg))
                 metrics.log(step=global_steps + 1, lr=lr_now,
-                            recon_loss=avg)
+                            recon_loss=avg,
+                            samples_per_sec=throughput.rate(
+                                global_steps + 1))
             global_steps += 1
             if max_steps and global_steps >= max_steps:
                 stop = True

@@ -178,6 +178,8 @@ def run(args):
     log.info("#" * 100)
 
     log_every = args.get("log_every", 1)
+    import time as _time
+    throughput = common.ThroughputMeter(batch_size, _time.monotonic)
     stop = False
     for _ in range(max_epoch):
         iteration_count = 0
@@ -237,6 +239,8 @@ def run(args):
                         global_steps + 1, index + 1, len(loader), lr_now,
                         avg, model.neighbourhood_range))
                 metrics.log(step=global_steps + 1, lr=lr_now, recon_loss=avg,
+                            samples_per_sec=throughput.rate(
+                                global_steps + 1),
                             neighbourhood_range=model.neighbourhood_range)
             global_steps += 1
             if global_steps % neighbourhood_step == 0:

@@ -178,6 +178,27 @@ def apply_compilation_cache(args):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+class ThroughputMeter:
+    """samples/sec between metric syncs (the loss fetch at each sync point
+    is a device barrier, so wall-clock deltas between syncs are honest).
+    First call returns None (no prior sync to measure from)."""
+
+    def __init__(self, batch_size, clock):
+        self.batch_size = batch_size
+        self.clock = clock
+        self._last_step = None
+        self._last_t = None
+
+    def rate(self, step):
+        now = self.clock()
+        prev_step, prev_t = self._last_step, self._last_t
+        self._last_step, self._last_t = step, now
+        if prev_step is None or step <= prev_step or now <= prev_t:
+            return None
+        return round((step - prev_step) * self.batch_size / (now - prev_t),
+                     2)
+
+
 class MetricsLogger:
     """Append-only JSONL metrics stream (<out>/metrics.jsonl) — the
     machine-readable counterpart of the reference's per-step log lines
