@@ -81,15 +81,18 @@ def main():
     def build_pipeline():
         # re-read the config too, so a reload picks up both new checkpoint
         # bytes and updated checkpoint paths inside the same config file
-        return CascadePipeline.from_config(
+        pipe = CascadePipeline.from_config(
             common.load_config(args.config_path), args.decoder_path,
             mesh=mesh, dtype=jnp.bfloat16 if args.bf16 else None,
             use_ema=args.use_ema)
+        if args.warmup_batch > 0:
+            # also runs during POST /reload (old weights keep serving), so
+            # the swapped-in pipeline never serves a cold compile
+            pipe.generate(args.warmup_batch, seed=0)
+            print(f"warmed up at batch {args.warmup_batch}", flush=True)
+        return pipe
 
     pipe = build_pipeline()
-    if args.warmup_batch > 0:
-        pipe.generate(args.warmup_batch, seed=0)
-        print(f"warmed up at batch {args.warmup_batch}")
 
     server = GenerationServer(pipe, host=args.host, port=args.port,
                               max_batch=args.max_batch,

@@ -32,7 +32,9 @@ Endpoints
     server was started with (continuous training -> serving refresh): a
     new pipeline is built from the SAME config/decoder paths and swapped
     in atomically between dispatches; in-flight requests finish on the old
-    weights.  Requires the server to be constructed with a ``reloader``
+    weights.  Note: both weight sets are resident while the reload builds
+    (a transient 2x-weights HBM cost; on failure the old pipeline keeps
+    serving).  Requires the server to be constructed with a ``reloader``
     (the CLI wires one).  Responds ``{"status": "reloaded", ...}`` or 503
     while another reload is running.
 ``POST /generate`` ``{"num_images": N, "seed": S, "return_images": bool,
@@ -304,7 +306,6 @@ class GenerationServer:
     def __init__(self, pipeline, host="127.0.0.1", port=8000, max_batch=64,
                  batch_multiple=1, max_queue_rows=None, request_timeout=None,
                  reloader=None):
-        self.pipeline = pipeline
         self.max_batch = max_batch
         self.batch_multiple = max(1, batch_multiple)
         # ``reloader``: zero-arg callable returning a fresh pipeline built
@@ -376,6 +377,10 @@ class GenerationServer:
 
             def do_POST(self):
                 if self.path == "/reload":
+                    # drain the request body (an unread body + close can
+                    # RST the connection before the client reads the reply)
+                    self.rfile.read(int(self.headers.get(
+                        "Content-Length", 0) or 0))
                     if server.reloader is None:
                         self._reply(400, {
                             "error": "this server was started without a "
@@ -388,7 +393,6 @@ class GenerationServer:
                     try:
                         new_pipe = server.reloader()
                         server.batcher.swap_pipeline(new_pipe)
-                        server.pipeline = new_pipe
                         self._reply(200, {"status": "reloaded"})
                     except Exception as e:  # keep serving the old weights
                         self._reply(500, {
@@ -461,6 +465,11 @@ class GenerationServer:
 
         self._httpd = _Server((host, port), Handler)
         self._thread = None
+
+    @property
+    def pipeline(self):
+        """The active pipeline (the batcher owns it; reload swaps it)."""
+        return self.batcher.pipeline
 
     @property
     def port(self):

@@ -268,8 +268,7 @@ def run(args):
     log.info("#" * 100)
 
     log_every = args.get("log_every", 1)
-    import time as _time
-    throughput = common.ThroughputMeter(batch_size, _time.monotonic)
+    throughput = common.ThroughputMeter(batch_size)
     # A checkpoint saved at counter N already contains update N+1 (the
     # train step precedes the save in the loop); resume continues at N+1
     # so a preempted run applies exactly the updates an uninterrupted one

@@ -178,8 +178,7 @@ def run(args):
     log.info("#" * 100)
 
     log_every = args.get("log_every", 1)
-    import time as _time
-    throughput = common.ThroughputMeter(batch_size, _time.monotonic)
+    throughput = common.ThroughputMeter(batch_size)
     stop = False
     for _ in range(max_epoch):
         iteration_count = 0

@@ -183,8 +183,10 @@ class ThroughputMeter:
     is a device barrier, so wall-clock deltas between syncs are honest).
     First call returns None (no prior sync to measure from)."""
 
-    def __init__(self, batch_size, clock):
+    def __init__(self, batch_size, clock=None):
+        import time
         self.batch_size = batch_size
+        clock = clock or time.monotonic
         self.clock = clock
         self._last_step = None
         self._last_t = None

@@ -558,3 +558,23 @@ def test_keep_checkpoints_retention(tmp_path):
                      "keep_checkpoints": 2})
     names = sorted(p.name for p in (out / "models_checkpoint").iterdir())
     assert names == ["model_3.pt", "model_4.pt"], names
+    # throughput lands in metrics.jsonl from the second sync onward
+    rows = [json.loads(line)
+            for line in (out / "metrics.jsonl").read_text().splitlines()]
+    assert rows[0]["samples_per_sec"] is None
+    assert all(r["samples_per_sec"] > 0 for r in rows[1:])
+
+
+def test_throughput_meter():
+    """rate() math with an injectable clock: samples/sec between syncs,
+    None on the first call and on zero progress."""
+    from qaig_tpu.train.common import ThroughputMeter
+
+    t = [0.0]
+    m = ThroughputMeter(4, clock=lambda: t[0])
+    assert m.rate(1) is None            # nothing to measure from yet
+    t[0] = 2.0
+    assert m.rate(5) == 8.0             # 4 steps x 4 samples / 2 s
+    assert m.rate(5) is None            # no step/time progress
+    t[0] = 3.0
+    assert m.rate(6) == 4.0
