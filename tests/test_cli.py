@@ -257,3 +257,36 @@ def test_console_entry_points_resolve():
     for name, target in scripts.items():
         mod, fn = target.split(":")
         assert callable(getattr(importlib.import_module(mod), fn)), name
+
+
+def test_example_configs_parse():
+    """examples/configs/*.json (reference-README values) construct real
+    models/configs through the same builders the CLIs use."""
+    import json
+    import pathlib
+
+    from qaig_tpu.models.codebook import Codebook
+    from qaig_tpu.train.autoencoder import build_autoencoder
+    from qaig_tpu.train.transformer import build_transformer_config
+
+    cfgs = pathlib.Path("examples/configs")
+    build_autoencoder(json.load(open(cfgs / "autoencoder.json")))
+    for name, base in [("transformer_base.json", True),
+                       ("transformer_cascade.json", False)]:
+        tcfg = build_transformer_config(
+            json.load(open(cfgs / name)), train_base_model=base,
+            lr_num_embeddings=512, hr_num_embeddings=512)
+        assert tcfg.in_dim == 512 and tcfg.hidden_dim == 2048
+    for name in ("codebook_lr.json", "codebook_hr.json"):
+        c = json.load(open(cfgs / name))
+        cb = Codebook(patch_dim=(c["patch_H"], c["patch_W"]),
+                      image_dim=(c["image_H"], c["image_W"]),
+                      image_channel=c["image_C"],
+                      num_embeddings=c["num_embeddings"],
+                      init_neighbour_range=c["num_embeddings"] // 2)
+        assert cb.seq_len in (1, 16)
+    gen = json.load(open(cfgs / "generate.json"))
+    assert set(gen) == {"0", "1", "2"}
+    for stage in gen.values():
+        assert {"model_path", "lr_codebook_path", "hr_codebook_path",
+                "beam_width", "num_beam", "temperature"} <= set(stage)
