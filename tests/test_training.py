@@ -578,3 +578,18 @@ def test_throughput_meter():
     assert m.rate(5) is None            # no step/time progress
     t[0] = 3.0
     assert m.rate(6) == 4.0
+
+
+def test_ema_decay_validation(tmp_path):
+    """--ema-decay outside [0, 1) fails fast with a clear ValueError."""
+    import pytest
+    from qaig_tpu.train import transformer
+
+    fx = _transformer_fixtures(tmp_path)
+    with pytest.raises(ValueError, match="ema-decay"):
+        transformer.run({
+            "dataset_path": fx["manifest"], "train_base_model": True,
+            "decoder_path": fx["ae"], "lr_codebook_path": fx["cb_a"],
+            "hr_codebook_path": fx["cb_b"], "config_path": fx["cfg"],
+            "out_dir": tmp_path / "out", "batch_size": 4,
+            "max_steps": 1, "skip_preview": True, "ema_decay": 1.5})
