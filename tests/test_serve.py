@@ -610,3 +610,19 @@ def test_server_hot_reload(gen_config):
             assert e.code == 400
     finally:
         server2.stop()
+
+
+def test_submit_after_stop_is_retryable():
+    """A request arriving during the drain gets ServerOverloadedError (the
+    handler maps it to a retryable 503 + Retry-After, not a hard 500)."""
+    from qaig_tpu.serve import RequestBatcher, ServerOverloadedError
+
+    class FakePipe:
+        def generate(self, num, seed=0):
+            return (np.zeros((num, 3, 2, 2), np.float32),
+                    np.zeros((num, 2), np.int32))
+
+    batcher = RequestBatcher(FakePipe(), max_batch=4)
+    batcher.stop()
+    with pytest.raises(ServerOverloadedError, match="shutting down"):
+        batcher.submit(1, seed=0)
