@@ -626,3 +626,53 @@ def test_submit_after_stop_is_retryable():
     batcher.stop()
     with pytest.raises(ServerOverloadedError, match="shutting down"):
         batcher.submit(1, seed=0)
+
+
+def test_request_batcher_concurrent_stress():
+    """Randomized concurrent load: every request gets exactly its rows back
+    (correct slicing under coalescing + mixed temperatures), and the
+    counters reconcile with the traffic."""
+    import random
+    import threading
+    import time as _time
+
+    from qaig_tpu.serve import RequestBatcher
+
+    class FakePipe:
+        def generate(self, num, seed=0, temperature=None):
+            _time.sleep(0.01)
+            # encode the row index so slicing bugs are visible
+            tok = np.arange(num, dtype=np.int32)[:, None].repeat(2, axis=1)
+            return np.full((num, 3, 2, 2), float(num), np.float32), tok
+
+    batcher = RequestBatcher(FakePipe(), max_batch=16, batch_multiple=2)
+    rng = random.Random(0)
+    results = [None] * 40
+
+    def worker(i, num, temp):
+        results[i] = (num, batcher.submit(num, seed=i, temperature=temp))
+
+    threads = []
+    for i in range(40):
+        num = rng.randint(1, 5)
+        temp = rng.choice([None, 1.0, 2.0])
+        t = threading.Thread(target=worker, args=(i, num, temp))
+        threads.append(t)
+        t.start()
+    for t in threads:
+        t.join()
+
+    total_rows = 0
+    for num, (images, tokens) in results:
+        assert images.shape[0] == num and tokens.shape[0] == num
+        # rows are a contiguous slice of SOME dispatch (strictly increasing
+        # by 1 within the request)
+        assert (np.diff(tokens[:, 0]) == 1).all() or num == 1
+        total_rows += num
+
+    m = batcher.metrics()
+    batcher.stop()
+    assert m["requests_total"] == 40
+    assert m["images_total"] == total_rows
+    assert m["errors_total"] == 0 and m["queue_depth"] == 0
+    assert m["dispatches_total"] <= 40  # coalescing happened or not; never more
