@@ -230,9 +230,15 @@ def main():
                         type=str, default="auto",
                         help="pin the jax platform (cpu forces the host "
                              "backend even when an accelerator is visible)")
+    parser.add_argument("--compiler-options", default=None, type=str,
+                        help="comma-separated XLA compiler options attached "
+                             "to every jitted program (also via "
+                             "QAIG_COMPILER_OPTIONS); the per-compile "
+                             "channel reaches the TPU compiler even through "
+                             "a remote-backend relay")
     args = parser.parse_args()
     from qaig_tpu.train.common import select_platform
-    select_platform(args.device)
+    select_platform(args.device, args.compiler_options)
 
     backend = jax.default_backend()
     if backend == "cpu" and args.scale == "full":

@@ -21,3 +21,12 @@ def add_runtime_args(parser, multihost=True):
         help="Persist XLA compilations here across process restarts (jax "
              "persistent cache): later runs with the same shapes skip "
              "compilation.")
+    parser.add_argument(
+        "--compiler-options", default=None, type=str,
+        help="Comma-separated XLA compiler options attached to every "
+             "jitted program, e.g. "
+             "'xla_tpu_scoped_vmem_limit_kib=65536'.  The per-compile "
+             "channel is the only one that reaches the TPU compiler "
+             "through a remote-backend relay (local XLA_FLAGS parsing "
+             "rejects TPU-only flags there).  Also settable via the "
+             "QAIG_COMPILER_OPTIONS environment variable.")

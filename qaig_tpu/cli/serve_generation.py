@@ -54,7 +54,7 @@ def main():
     args = parser.parse_args()
 
     from qaig_tpu.train import common
-    common.select_platform(args.device)
+    common.select_platform(args.device, args.compiler_options)
     common.apply_compilation_cache(vars(args))
 
     import jax
@@ -92,9 +92,12 @@ def main():
             print(f"warmed up at batch {args.warmup_batch}", flush=True)
         return pipe
 
-    pipe = build_pipeline()
-
-    server = GenerationServer(pipe, host=args.host, port=args.port,
+    # NOTE: no local keeps the startup pipeline alive — after POST /reload
+    # swaps in fresh weights, the only reference to the old pipeline is the
+    # batcher's, so the old device buffers free and reloads stay a
+    # *transient* 2x-HBM peak rather than a permanent one.
+    server = GenerationServer(build_pipeline(), host=args.host,
+                              port=args.port,
                               max_batch=args.max_batch,
                               batch_multiple=batch_multiple,
                               max_queue_rows=args.max_queue_rows,

@@ -121,7 +121,8 @@ def generate_stage_tokens(model, params, stage_cfg, num_images, rng,
 
 
 def run(args):
-    common.select_platform(args.get("device"))
+    common.select_platform(args.get("device"),
+                           args.get("compiler_options"))
     common.apply_compilation_cache(args)
     common.maybe_init_distributed(args)
     out_dir = common.ensure_dir(args["out_dir"])

@@ -328,10 +328,12 @@ class GenerationServer:
             def log_message(self, fmt, *args):  # quiet by default
                 pass
 
-            def _reply(self, code, payload, headers=None):
-                body = json.dumps(payload).encode()
+            def _reply(self, code, payload, headers=None,
+                       content_type="application/json"):
+                body = (payload if isinstance(payload, bytes)
+                        else json.dumps(payload).encode())
                 self.send_response(code)
-                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Type", content_type)
                 for name, value in (headers or {}).items():
                     self.send_header(name, value)
                 self.send_header("Content-Length", str(len(body)))
@@ -363,13 +365,9 @@ class GenerationServer:
                                     else "gauge")
                             lines.append(f"# TYPE qaig_{key} {kind}")
                             lines.append(f"qaig_{key} {value}")
-                        body = ("\n".join(lines) + "\n").encode()
-                        self.send_response(200)
-                        self.send_header("Content-Type",
-                                         "text/plain; version=0.0.4")
-                        self.send_header("Content-Length", str(len(body)))
-                        self.end_headers()
-                        self.wfile.write(body)
+                        self._reply(
+                            200, ("\n".join(lines) + "\n").encode(),
+                            content_type="text/plain; version=0.0.4")
                     else:
                         self._reply(200, snap)
                 else:
@@ -390,17 +388,23 @@ class GenerationServer:
                         self._reply(503, {"error": "reload in progress"},
                                     headers={"Retry-After": "5"})
                         return
+                    # only the build is error-guarded: once swap_pipeline
+                    # has run, the new weights ARE serving, and a late
+                    # reply failure (client gave up during a minutes-long
+                    # build) must not be misreported as "reload failed"
                     try:
-                        new_pipe = server.reloader()
+                        try:
+                            new_pipe = server.reloader()
+                        except Exception as e:  # old weights keep serving
+                            self._reply(500, {
+                                "error": f"reload failed, still serving "
+                                         f"the previous weights: "
+                                         f"{type(e).__name__}: {e}"})
+                            return
                         server.batcher.swap_pipeline(new_pipe)
-                        self._reply(200, {"status": "reloaded"})
-                    except Exception as e:  # keep serving the old weights
-                        self._reply(500, {
-                            "error": f"reload failed, still serving the "
-                                     f"previous weights: "
-                                     f"{type(e).__name__}: {e}"})
                     finally:
                         server._reload_lock.release()
+                    self._reply(200, {"status": "reloaded"})
                     return
                 if self.path != "/generate":
                     self._reply(404, {"error": "not found"})

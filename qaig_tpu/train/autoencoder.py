@@ -138,7 +138,8 @@ def checkpoint_dict(cfg, params, opt_state, global_steps=0):
 
 def run(args):
     """``args`` mirrors the reference CLI flags (dict)."""
-    common.select_platform(args.get("device"))
+    common.select_platform(args.get("device"),
+                           args.get("compiler_options"))
     common.maybe_init_distributed(args)
     common.apply_debug_flags(args)
     common.apply_compilation_cache(args)

@@ -60,7 +60,8 @@ def checkpoint_dict(model, params, global_steps, opt_state=None):
 
 
 def run(args):
-    common.select_platform(args.get("device"))
+    common.select_platform(args.get("device"),
+                           args.get("compiler_options"))
     common.maybe_init_distributed(args)
     common.apply_debug_flags(args)
     common.apply_compilation_cache(args)

@@ -35,6 +35,22 @@ def _checkpoint_complete(path):
                    for name in os.listdir(p) + os.listdir(arrays))
 
 
+def _list_checkpoints(out_dir, prefix):
+    """All ``<prefix>_<N>.pt`` / ``.pt.orbax`` checkpoints under
+    ``<out_dir>/models_checkpoint`` as ``(N, path)``, newest first.  The
+    single source of the checkpoint naming contract — auto-resume discovery
+    (``find_latest_checkpoint``) and retention (``prune_checkpoints``) must
+    agree on it or pruning could skip (or eat) files resume sees."""
+    import pathlib
+    import re
+    d = pathlib.Path(out_dir) / "models_checkpoint"
+    if not d.is_dir():
+        return []
+    pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.pt(\.orbax)?")
+    return sorted(((int(m.group(1)), p) for p in d.iterdir()
+                   if (m := pat.fullmatch(p.name))), reverse=True)
+
+
 def find_latest_checkpoint(out_dir, prefix="model", logging=None):
     """Newest COMPLETE ``<prefix>_<N>.pt`` (or ``.pt.orbax`` directory)
     under ``<out_dir>/models_checkpoint``, by step number N.  Returns
@@ -43,17 +59,7 @@ def find_latest_checkpoint(out_dir, prefix="model", logging=None):
     up from the last save — no reference equivalent, the reference
     restarts step counting on every resume).  A checkpoint that a crash
     left half-written is skipped in favor of the previous good one."""
-    import pathlib
-    import re
-    d = pathlib.Path(out_dir) / "models_checkpoint"
-    found = []
-    if d.is_dir():
-        pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.pt(\.orbax)?")
-        for p in d.iterdir():
-            m = pat.fullmatch(p.name)
-            if m:
-                found.append((int(m.group(1)), p))
-    for n, p in sorted(found, reverse=True):
+    for n, p in _list_checkpoints(out_dir, prefix):
         if _checkpoint_complete(p):
             return p, n
         if logging is not None:
@@ -70,9 +76,18 @@ def cast_floats(tree, dtype):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
-def select_platform(device):
+def select_platform(device, compiler_option_spec=None):
     """Map the CLI --device flag onto jax platforms.  'auto' keeps whatever
-    the environment provides (TPU when present)."""
+    the environment provides (TPU when present).  Also installs XLA
+    compiler options from ``--compiler-options`` (the spec argument) and/or
+    QAIG_COMPILER_OPTIONS — the per-compile channel is the only one that
+    reaches the TPU compiler through a remote-backend relay; see
+    qaig_tpu/utils/compiler_options.py."""
+    from qaig_tpu.utils import compiler_options
+    compiler_options.install_from_env()
+    if compiler_option_spec:
+        compiler_options.install(compiler_options.parse(
+            str(compiler_option_spec)))
     if device in (None, "auto", "tpu", "cuda"):
         return
     if device == "cpu":
@@ -131,18 +146,10 @@ def prune_checkpoints(out_dir, keep, prefix="model", logging=None,
     extra checkpoint is retained behind it."""
     if keep and backend == "orbax-async":
         keep = int(keep) + 1
-    import pathlib
-    import re
     import shutil
     if not keep or keep < 1:
         return
-    d = pathlib.Path(out_dir) / "models_checkpoint"
-    if not d.is_dir():
-        return
-    pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.pt(\.orbax)?")
-    found = [(int(m.group(1)), p) for p in d.iterdir()
-             if (m := pat.fullmatch(p.name))]
-    for _, p in sorted(found, reverse=True)[keep:]:
+    for _, p in _list_checkpoints(out_dir, prefix)[keep:]:
         try:
             shutil.rmtree(p) if p.is_dir() else p.unlink()
             if logging is not None:

@@ -22,6 +22,15 @@ from qaig_tpu.models.conv_nets import FCEncoder, ConvNetConfig
 from qaig_tpu.train import common
 from qaig_tpu.utils import load_model
 
+# Manifest filename contract (reference: generate_fmap_dataset.py writes
+# "all_dataset.json").  Both the writer (save_feature_maps) and the
+# multihost non-writer early return derive the returned path from this.
+MANIFEST_NAME = "all_dataset.json"
+
+
+def manifest_path_for(out_dir):
+    return os.path.join(str(out_dir), MANIFEST_NAME)
+
 
 def encoder_from_checkpoint(ckpt, logging=print):
     cfg = ConvNetConfig(
@@ -89,7 +98,7 @@ def save_feature_maps(model, params, loader, out_dir, num_files_folder=1_000,
     pool.shutdown()
     logging("Finished saving feature maps.")
 
-    manifest_path = os.path.join(str(out_dir), "all_dataset.json")
+    manifest_path = manifest_path_for(out_dir)
     write_manifest(manifest_path, all_data)
     logging("Finished saving json file.")
     logging("#" * 100)
@@ -97,7 +106,8 @@ def save_feature_maps(model, params, loader, out_dir, num_files_folder=1_000,
 
 
 def run(args):
-    common.select_platform(args.get("device"))
+    common.select_platform(args.get("device"),
+                           args.get("compiler_options"))
     common.apply_compilation_cache(args)
     common.maybe_init_distributed(args)
     out_dir = common.ensure_dir(args["out_dir"])
@@ -110,7 +120,7 @@ def run(args):
     # failure releases the waiters instead of hanging them.
     if jax.process_count() > 1 and jax.process_index() != 0:
         common.single_writer_barrier("qaig_fmap_done")
-        return os.path.join(str(out_dir), "all_dataset.json")
+        return manifest_path_for(out_dir)
 
     try:
         status, ckpt = load_model(args["model_path"])

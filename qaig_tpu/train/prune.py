@@ -56,7 +56,8 @@ def prune(model, params, counts, prune_threshold, logging=print):
 
 
 def run(args):
-    common.select_platform(args.get("device"))
+    common.select_platform(args.get("device"),
+                           args.get("compiler_options"))
     common.apply_compilation_cache(args)
     common.maybe_init_distributed(args)
     out_dir = common.ensure_dir(args["out_dir"])

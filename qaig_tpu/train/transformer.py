@@ -334,7 +334,8 @@ def validate_parallel_args(cfg, batch_size, args):
 
 
 def run(args):
-    common.select_platform(args.get("device"))
+    common.select_platform(args.get("device"),
+                           args.get("compiler_options"))
     common.maybe_init_distributed(args)
     common.apply_debug_flags(args)
     common.apply_compilation_cache(args)

@@ -492,7 +492,6 @@ def test_serve_cli_graceful_shutdown(gen_config, tmp_path):
     still gets its 200) and the process exits 0 after logging the drain."""
     import os
     import signal
-    import socket
     import subprocess
     import sys
     import threading
@@ -502,19 +501,37 @@ def test_serve_cli_graceful_shutdown(gen_config, tmp_path):
     cfg_path = tmp_path / "gen.json"
     cfg_path.write_text(json.dumps(config))
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    # --port 0: the server binds an OS-assigned port and prints it, so
+    # there is no reserve-close-rebind race with other processes.
     proc = subprocess.Popen(
         [sys.executable, "serve_generation.py", "--device", "cpu",
          "--config-path", str(cfg_path), "--decoder-path", decoder_path,
-         "--port", str(port), "--max-batch", "4"],
+         "--port", "0", "--max-batch", "4"],
         cwd=".", env=env, text=True,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    stdout_lines = []
+
+    def _pump():  # keep draining after startup so the pipe never fills
+        for line in proc.stdout:
+            stdout_lines.append(line)
+
+    pump = threading.Thread(target=_pump, daemon=True)
+    pump.start()
     try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            serving = [ln for ln in stdout_lines if "serving on http" in ln]
+            if serving:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "server exited early:\n" + "".join(stdout_lines)[-2000:])
+            time.sleep(0.5)
+        else:
+            raise AssertionError("server never came up")
+        port = int(serving[0].rsplit(":", 1)[1])
         base = f"http://127.0.0.1:{port}"
         deadline = time.monotonic() + 120
         while time.monotonic() < deadline:
@@ -524,7 +541,7 @@ def test_serve_cli_graceful_shutdown(gen_config, tmp_path):
             except OSError:
                 time.sleep(1.0)
         else:
-            raise AssertionError("server never came up")
+            raise AssertionError("server never answered /healthz")
 
         result = {}
 
@@ -544,8 +561,9 @@ def test_serve_cli_graceful_shutdown(gen_config, tmp_path):
         assert status == 200
         assert np.asarray(out["tokens"]).shape == (2, 4)
 
-        stdout, _ = proc.communicate(timeout=60)
-        assert proc.returncode == 0, stdout[-2000:]
+        assert proc.wait(timeout=60) == 0, "".join(stdout_lines)[-2000:]
+        pump.join(timeout=30)
+        stdout = "".join(stdout_lines)
         assert "draining" in stdout and "drained; bye." in stdout
     finally:
         if proc.poll() is None:
