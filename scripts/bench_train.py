@@ -70,6 +70,8 @@ def main(batch=64, use_flash=None, remat=False, bf16=False):
 
 if __name__ == "__main__":
     import sys as _sys
+    from qaig_tpu.utils import compiler_options as _copts
+    _copts.install_from_env()  # QAIG_COMPILER_OPTIONS reaches every jit
     if "--bf16-ab" in _sys.argv:
         main(use_flash=False)
         main(use_flash=False, bf16=True)
