@@ -85,8 +85,15 @@ def _bucket_schedule(needed, total):
     return min(cap, total) if needed <= total else needed
 
 
-def _sample(logits, rng, s: SamplerSettings):
-    """Returns (context_token (N,), chosen_prob (N,))."""
+def _sample(logits, rng, s: SamplerSettings, slot=None):
+    """Returns (context_token (N,), chosen_prob (N,)).
+
+    ``rng`` is either ONE key for the whole batch (batch-keyed mode: the
+    historical CLI semantics — all rows draw from one categorical call) or
+    PER-ROW keys (rows, 2) (row-keyed mode: each row's draw depends only
+    on its own key and ``slot``, the global context index of the token
+    being generated — composition-invariant serving sampling; see
+    ``rollout_generate(row_keys=...)``)."""
     scaled = logits.astype(jnp.float32) / s.temperature
     probs = jax.nn.softmax(scaled, axis=-1)
     if s.end_mode == "mask":
@@ -94,12 +101,33 @@ def _sample(logits, rng, s: SamplerSettings):
         sample_logits = jnp.log(jnp.maximum(probs, 1e-38))
     else:
         sample_logits = scaled
-    token = jax.random.categorical(rng, sample_logits, axis=-1)
+    if _is_row_keys(rng):
+        step_keys = jax.vmap(
+            lambda k: jax.random.fold_in(k, slot))(rng)
+        token = jax.vmap(jax.random.categorical)(step_keys, sample_logits)
+    else:
+        token = jax.random.categorical(rng, sample_logits, axis=-1)
     chosen = jnp.take_along_axis(probs, token[:, None], axis=-1)[:, 0]
     if s.end_mode == "replace_zero":
         token = jnp.where(token == s.end_token, 0, token)
     token = token + s.index_shift
     return token, chosen
+
+
+def _is_row_keys(rng):
+    """True when ``rng`` is a (rows, 2) stack of per-row PRNG keys rather
+    than a single (2,) key."""
+    return rng.ndim == 2
+
+
+def _expand_row_keys(row_keys, num_beam):
+    """Per-element keys (N, 2) -> per-rollout keys (N*num_beam, 2), beam
+    ``b`` of element ``n`` getting ``fold_in(row_keys[n], b)`` — the row
+    grouping matches ``_tile`` ([n0b0, n0b1, ..., n1b0, ...])."""
+    beams = jnp.arange(num_beam, dtype=jnp.int32)
+    out = jax.vmap(lambda k: jax.vmap(
+        lambda b: jax.random.fold_in(k, b))(beams))(row_keys)
+    return out.reshape((row_keys.shape[0] * num_beam,) + row_keys.shape[1:])
 
 
 def _tile(tree, reps):
@@ -285,10 +313,14 @@ class DecodeEngine:
         def build():
             def fn(params, arrays, rng):
                 packed = model.pack_decode(params)
+                row_mode = _is_row_keys(rng)
 
-                def body(carry, step_rng):
+                def body(carry, xs):
                     logits, caches, index, ctx, logp = carry
-                    token, p = _sample(logits, step_rng, settings)
+                    if row_mode:
+                        token, p = _sample(logits, rng, settings, slot=index)
+                    else:
+                        token, p = _sample(logits, xs, settings)
                     if has_ctx:
                         ctx = jax.lax.dynamic_update_slice(
                             ctx, token[:, None].astype(jnp.int32), (0, index))
@@ -303,7 +335,8 @@ class DecodeEngine:
                     return ((logits, caches, index + 1, ctx,
                              logp + jnp.log(jnp.maximum(p, 1e-38))), token)
 
-                keys = jax.random.split(rng, num_steps)
+                keys = (jnp.arange(num_steps) if row_mode
+                        else jax.random.split(rng, num_steps))
                 n = arrays["logits"].shape[0]
                 carry = (arrays["logits"], arrays["caches"], arrays["index"],
                          arrays.get("ctx", jnp.zeros((n, 1), jnp.int32)),
@@ -318,7 +351,7 @@ class DecodeEngine:
             return fn
 
         key = ("cached_seg", num_steps, settings, has_ctx,
-               arrays["logits"].shape)
+               arrays["logits"].shape, rng.shape)
         return self._jitted(key, build)(params, arrays, rng)
 
     # ------------------------------------------------------------------
@@ -350,6 +383,9 @@ class DecodeEngine:
                 n = arrays["logits"].shape[0]
                 nb = n * num_beam
                 index0 = arrays["index"]
+                row_mode = _is_row_keys(rng)
+                rollout_keys = (_expand_row_keys(rng, num_beam)
+                                if row_mode else None)
                 packed = model.pack_decode(params)
                 cross_split = model.presplit_cross_kv(arrays["cross_kv"]) \
                     if model.cfg.use_encoder else None
@@ -365,9 +401,13 @@ class DecodeEngine:
                 ctx0 = (_tile({"x": arrays["ctx"]}, num_beam)["x"]
                         if has_ctx else jnp.zeros((nb, 1), jnp.int32))
 
-                def body(carry, step_rng):
+                def body(carry, xs):
                     logits, blocks_, j, ctx, logp = carry
-                    token, p = _sample(logits, step_rng, settings)
+                    if row_mode:
+                        token, p = _sample(logits, rollout_keys, settings,
+                                           slot=index0 + j)
+                    else:
+                        token, p = _sample(logits, xs, settings)
                     if has_ctx:
                         ctx = jax.lax.dynamic_update_slice(
                             ctx, token[:, None].astype(jnp.int32),
@@ -381,7 +421,8 @@ class DecodeEngine:
                     return ((logits, blocks_, j + 1, ctx,
                              logp + jnp.log(jnp.maximum(p, 1e-38))), token)
 
-                keys = jax.random.split(rng, beam_width)
+                keys = (jnp.arange(beam_width) if row_mode
+                        else jax.random.split(rng, beam_width))
                 carry = (logits0, block_caches, jnp.asarray(0, jnp.int32),
                          ctx0, jnp.zeros(nb))
                 (logits, blocks_, _, ctx, logp), tokens = jax.lax.scan(
@@ -405,7 +446,7 @@ class DecodeEngine:
         key = ("rollout_seg", beam_width, num_beam, settings, has_ctx,
                arrays["logits"].shape,
                arrays["caches"][0]["k"].shape,
-               str(arrays["caches"][0]["k"].dtype), read_len)
+               str(arrays["caches"][0]["k"].dtype), read_len, rng.shape)
         return self._jitted(key, build)(params, arrays, rng)
 
     # ------------------------------------------------------------------
@@ -437,7 +478,11 @@ class DecodeEngine:
 
         def build():
             def fn(params, arrays, rng):
-                keys = jax.random.split(rng, beam_width)
+                row_mode = _is_row_keys(rng)
+                keys = (None if row_mode
+                        else jax.random.split(rng, beam_width))
+                rollout_keys = (_expand_row_keys(rng, num_beam)
+                                if row_mode else None)
                 if crossing:
                     n = arrays["logits"].shape[0]
                 else:
@@ -478,9 +523,13 @@ class DecodeEngine:
                         arrays["caches"], read_len,
                         flat=self._flat_segment(num_beam, n_cached))
 
-                    def body(carry, step_rng):
+                    def body(carry, xs):
                         logits, blocks_, j, lp = carry
-                        token, p = _sample(logits, step_rng, settings)
+                        if row_mode:
+                            token, p = _sample(logits, rollout_keys,
+                                               settings, slot=c0 + j)
+                        else:
+                            token, p = _sample(logits, xs, settings)
                         pos_val = (index0 + j + settings.pos_offset) \
                             if use_pos else None
                         logits, blocks_ = model.decode_step_shared(
@@ -493,7 +542,9 @@ class DecodeEngine:
                     carry = (logits0, block_caches,
                              jnp.asarray(0, jnp.int32), logp)
                     (logits, _, _, logp), toks = jax.lax.scan(
-                        body, carry, keys[:n_cached])
+                        body, carry,
+                        jnp.arange(n_cached) if row_mode
+                        else keys[:n_cached])
                     seg_tokens = toks.T.astype(jnp.int32)
 
                 # -- part B: slid steps via shared windowed recompute
@@ -520,7 +571,11 @@ class DecodeEngine:
                             params, sh_tok, seg_tokens,
                             shared_pos_cond=sh_pos, block_pos_cond=blk_pos,
                             cross_kv=cross_kv)
-                    token, p = _sample(logits, keys[s], settings)
+                    if row_mode:
+                        token, p = _sample(logits, rollout_keys, settings,
+                                           slot=c0 + s)
+                    else:
+                        token, p = _sample(logits, keys[s], settings)
                     logp = logp + jnp.log(jnp.maximum(p, 1e-38))
                     seg_tokens = jnp.concatenate(
                         [seg_tokens, token[:, None].astype(jnp.int32)],
@@ -566,7 +621,7 @@ class DecodeEngine:
         else:
             shapes = (arrays["tok_buf"].shape,)
         key = ("winroll_seg", kind, beam_width, num_beam, n_cached, settings,
-               window, shapes)
+               window, shapes, rng.shape)
         return self._jitted(key, build)(params, arrays, rng)
 
     # ------------------------------------------------------------------
@@ -601,13 +656,21 @@ class DecodeEngine:
         def build():
             def fn(params, arrays, rng):
                 cross_kv = arrays["cross_kv"]
+                row_mode = _is_row_keys(rng)
 
-                def body(carry, step_rng):
+                def body(carry, xs):
                     tok_buf, pos_buf, pos_next, logp = carry
                     logits = model.window_forward(
                         params, tok_buf, pos_cond=pos_buf, cross_kv=cross_kv,
                         last_only=True)[:, 0]
-                    token, prob = _sample(logits, step_rng, settings)
+                    if row_mode:
+                        # pos_next is the absolute context slot of the token
+                        # being generated, shifted by the sampler's offset
+                        token, prob = _sample(
+                            logits, rng, settings,
+                            slot=pos_next - settings.pos_offset)
+                    else:
+                        token, prob = _sample(logits, xs, settings)
                     tok_buf = jnp.roll(tok_buf, -1, axis=1).at[:, -1].set(
                         token.astype(tok_buf.dtype))
                     pos_buf = jnp.roll(pos_buf, -1, axis=1).at[:, -1].set(
@@ -615,7 +678,8 @@ class DecodeEngine:
                     logp = logp + jnp.log(jnp.maximum(prob, 1e-38))
                     return (tok_buf, pos_buf, pos_next + 1, logp), token
 
-                keys = jax.random.split(rng, num_steps)
+                keys = (jnp.arange(num_steps) if row_mode
+                        else jax.random.split(rng, num_steps))
                 n = arrays["tok_buf"].shape[0]
                 carry = (arrays["tok_buf"], arrays["pos_buf"],
                          arrays["pos_next"], jnp.zeros(n))
@@ -626,7 +690,8 @@ class DecodeEngine:
                 return new_arrays, tokens.T, logp
             return fn
 
-        key = ("win_seg", num_steps, settings, arrays["tok_buf"].shape)
+        key = ("win_seg", num_steps, settings, arrays["tok_buf"].shape,
+               rng.shape)
         return self._jitted(key, build)(params, arrays, rng)
 
     # ------------------------------------------------------------------
@@ -675,6 +740,7 @@ class DecodeEngine:
         runs at the smallest capacity that holds its tokens."""
         parts, logps = [], []
         remaining = num_steps
+        row_mode = _is_row_keys(rng)
         while remaining > 0:
             used = state.init_len + state.gen_count
             capacity = state.cache_len - used
@@ -684,7 +750,13 @@ class DecodeEngine:
                 state.cache_len = new_len
                 capacity = state.cache_len - used
             k = min(remaining, capacity)
-            rng, seg_rng = jax.random.split(rng)
+            if row_mode:
+                # per-row keys pass through unchanged: the fold on the
+                # global slot index disambiguates steps, so draws are
+                # independent of segment boundaries (and of co-batch rows)
+                seg_rng = rng
+            else:
+                rng, seg_rng = jax.random.split(rng)
             arrays, tokens, logp = self._cached_segment(
                 params, state.arrays, seg_rng, k, settings)
             state.arrays = arrays
@@ -706,10 +778,14 @@ class DecodeEngine:
         n_cached_left = max(
             0, (state.window - state.init_len) - state.gen_count)
         parts, logps = [], []
+        row_mode = _is_row_keys(rng)
         if state.mode == "cached":
             k = min(num_steps, n_cached_left)
             if k > 0:
-                rng, seg_rng = jax.random.split(rng)
+                if row_mode:
+                    seg_rng = rng
+                else:
+                    rng, seg_rng = jax.random.split(rng)
                 tokens, logp = self._cached_run(params, state, seg_rng, k,
                                                 settings)
                 parts.append(tokens)
@@ -735,7 +811,12 @@ class DecodeEngine:
 
     def generate(self, params, init_tokens, num_new_tokens, rng, settings,
                  x_enc=None, sliding_window=None):
-        """Single-path generation (training-preview decode)."""
+        """Single-path generation (training-preview decode).
+
+        ``rng`` is either one PRNG key (batch-keyed sampling, historical
+        CLI semantics) or a (N, 2) stack of PER-ROW keys — each row's draws
+        then depend only on its own key and the token's global slot index,
+        so results are invariant to batch composition (serving)."""
         state = self.init_state(params, init_tokens, num_new_tokens,
                                 x_enc=x_enc, sliding_window=sliding_window)
         tokens, _ = self.segment(params, state, rng, num_new_tokens, settings)
@@ -747,11 +828,20 @@ class DecodeEngine:
         """Best-of-``num_beam`` rollout decode (reference beam search,
         ``generate_images.py:256-337``), vectorized over a beam batch axis.
 
+        ``rng``: one key — every row draws from one categorical per step
+        (batch-keyed, historical CLI semantics) — or PER-ROW keys (N, 2):
+        rollout ``b`` of row ``n`` then samples with
+        ``fold_in(fold_in(row_key[n], b), global_slot)``, making each row's
+        trajectory a pure function of its own key (composition-invariant
+        serving sampling; the same request returns the same tokens solo and
+        coalesced).
+
         Returns (N, num_new_tokens) context-representation tokens.
         """
         if num_new_tokens % beam_width != 0:
             raise ValueError("Invalid value for beam_width!")
         n = init_tokens.shape[0]
+        row_mode = _is_row_keys(rng)
 
         state = self.init_state(params, init_tokens, num_new_tokens,
                                 x_enc=x_enc, sliding_window=sliding_window)
@@ -759,7 +849,10 @@ class DecodeEngine:
             state.arrays = self._quantize_prefix(state.arrays)
         out = []
         for _ in range(num_new_tokens // beam_width):
-            rng, seg_rng = jax.random.split(rng)
+            if row_mode:
+                seg_rng = rng  # slot fold disambiguates segments
+            else:
+                rng, seg_rng = jax.random.split(rng)
 
             # shared-prefix fast path: the whole segment stays in cached
             # mode (prefix K/V shared at N rows; only per-rollout blocks
@@ -824,8 +917,10 @@ class DecodeEngine:
                                 window=state.window,
                                 cache_len=state.cache_len,
                                 total_len=state.total_len)
-            tokens, logp = self.segment(params, tiled, seg_rng, beam_width,
-                                        settings)
+            tokens, logp = self.segment(
+                params, tiled,
+                _expand_row_keys(seg_rng, num_beam) if row_mode else seg_rng,
+                beam_width, settings)
             winner = jnp.argmax(logp.reshape(n, num_beam), axis=1)
             state.arrays = _select_beam(tiled.arrays, winner, num_beam)
             state.mode = tiled.mode

@@ -16,6 +16,21 @@ from qaig_tpu.infer.generate import transformer_from_checkpoint
 from qaig_tpu.train import common
 from qaig_tpu.utils import load_model
 
+# Fold tag separating the stage-0 random-conditioning-grid draw from the
+# per-stage/per-beam/per-slot sampling folds (all small ints).
+_INIT_TAG = 424242
+
+
+def derive_row_keys(seed, num_rows, start=0):
+    """Per-row sampling keys for ``pipeline.generate``'s row-keyed mode:
+    row ``j`` gets ``fold_in(PRNGKey(seed), start + j)``.  The serving
+    batcher builds a merged batch's keys per REQUEST with this (each
+    request's own seed, rows numbered from 0), which makes a request's
+    tokens independent of its co-batch."""
+    base = jax.random.PRNGKey(seed)
+    return jax.vmap(lambda j: jax.random.fold_in(base, j))(
+        jnp.arange(start, start + num_rows))
+
 
 @dataclass
 class CascadeStage:
@@ -154,8 +169,8 @@ class CascadePipeline:
                 total_seq=total_seq, is_base=is_base))
         return cls(stages, decoder, dec_params, mesh=mesh)
 
-    def generate_tokens(self, num_images, rng, init_tokens=None,
-                        temperature=None):
+    def generate_tokens(self, num_images, rng=None, init_tokens=None,
+                        temperature=None, row_keys=None):
         """Run every stage; returns (final HR tokens, per-stage tokens).
 
         ``init_tokens`` optionally conditions stage 0 (defaults to random
@@ -163,22 +178,42 @@ class CascadePipeline:
         every stage's configured sampling temperature for this call (each
         distinct value compiles its own decode programs once, then they
         cache).
+
+        Sampling keys: pass EITHER ``rng`` (one key; batch-keyed sampling,
+        split per stage — historical semantics) OR ``row_keys`` (N, 2),
+        one PRNG key per image row.  With row keys, stage ``i`` of row
+        ``n`` samples from ``fold_in(row_keys[n], i)`` (and the stage-0
+        random conditioning grid from a further ``_INIT_TAG`` fold), so a
+        row's entire trajectory is a pure function of its own key — the
+        composition-invariant serving mode (`serve.py`).
         """
         import dataclasses
+        if (rng is None) == (row_keys is None):
+            raise ValueError("pass exactly one of rng / row_keys")
         per_stage = []
         tokens = init_tokens
-        for stage in self.stages:
+        for stage_idx, stage in enumerate(self.stages):
             settings = stage.settings
             if temperature is not None:
                 settings = dataclasses.replace(
                     settings, temperature=float(temperature))
-            rng, gen_rng = jax.random.split(rng)
+            if row_keys is not None:
+                gen_rng = jax.vmap(
+                    lambda k: jax.random.fold_in(k, stage_idx))(row_keys)
+            else:
+                rng, gen_rng = jax.random.split(rng)
             if stage.is_base:
                 if tokens is None:
-                    rng, init_rng = jax.random.split(rng)
-                    tokens = jax.random.randint(
-                        init_rng, (num_images, 1), 0,
-                        stage.lr_num_embeddings)
+                    if row_keys is not None:
+                        init_keys = jax.vmap(lambda k: jax.random.fold_in(
+                            k, _INIT_TAG))(gen_rng)
+                        tokens = jax.vmap(lambda k: jax.random.randint(
+                            k, (1,), 0, stage.lr_num_embeddings))(init_keys)
+                    else:
+                        rng, init_rng = jax.random.split(rng)
+                        tokens = jax.random.randint(
+                            init_rng, (num_images, 1), 0,
+                            stage.lr_num_embeddings)
                 init = self._shard_batch(tokens)
                 x_enc = None
             else:
@@ -187,7 +222,9 @@ class CascadePipeline:
                              stage.hr_codebook.num_embeddings, jnp.int32))
                 x_enc = self._shard_batch(tokens)
             out = stage.engine.rollout_generate(
-                stage.params, init, stage.total_seq, gen_rng, settings,
+                stage.params, init, stage.total_seq,
+                self._shard_batch(gen_rng) if row_keys is not None
+                else gen_rng, settings,
                 num_beam=stage.num_beam, beam_width=stage.beam_width,
                 x_enc=x_enc, sliding_window=stage.sliding_window)
             tokens = out - settings.index_shift
@@ -195,10 +232,17 @@ class CascadePipeline:
         return tokens, per_stage
 
     def generate(self, num_images, seed=0, init_tokens=None,
-                 temperature=None):
-        """Returns (images (N, C, H, W) in [-1, 1] BGR, final tokens)."""
-        rng = jax.random.PRNGKey(seed)
-        tokens, _ = self.generate_tokens(num_images, rng,
+                 temperature=None, row_keys=None):
+        """Returns (images (N, C, H, W) in [-1, 1] BGR, final tokens).
+
+        Sampling is ROW-KEYED: row ``j`` draws from
+        ``fold_in(PRNGKey(seed), j)`` (or ``row_keys[j]`` when given
+        explicitly — the serving batcher passes per-request keys so a
+        request's tokens are identical solo and coalesced).  A row's
+        result is therefore independent of the batch it runs in."""
+        if row_keys is None:
+            row_keys = derive_row_keys(seed, num_images)
+        tokens, _ = self.generate_tokens(num_images, row_keys=row_keys,
                                          init_tokens=init_tokens,
                                          temperature=temperature)
         last = self.stages[-1]

@@ -32,6 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
+def _resolve_interpret(interpret):
+    """``interpret=None`` (the default) auto-selects the Pallas interpreter
+    off-TPU, so the kernels — and the engine modes that route through them
+    (``--flat-decode``, ``--int8-kv``) — run under the CPU CI backend with
+    the same math (see ``ops/bmu.py`` for the same pattern)."""
+    if interpret is None:
+        return jax.default_backend() not in ("tpu", "axon")
+    return interpret
+
+
 # ---------------------------------------------------------------------------
 # Transposed-layout (lanes = S) kernels — round-3 generation.
 #
@@ -49,17 +59,24 @@ NEG = -1e30
 
 
 def _head_attention(q_h, kt_h, vt_h, kb_h, vb_h, index0, block_index,
-                    scale, k_scale_h=None, v_scale_h=None):
+                    scale, k_scale_h=None, v_scale_h=None, upcast=False):
     """One head's shared-prefix + block attention on transposed tiles.
 
     q_h (B, dh) bf16; kt_h/vt_h (dh, S) bf16 or int8 (+ per-slot scales
     (S,) f32); kb_h/vb_h (B, bw, dh) bf16.  Returns (B, dh) f32.
+    ``upcast`` runs the dots in f32 (interpret mode: XLA:CPU's dot thunk
+    has no bf16 x bf16 = f32 path; same values, f32 accumulate as on TPU).
     """
     b, dh = q_h.shape
     s = kt_h.shape[1]
     bw = kb_h.shape[1]
+    mxu = jnp.float32 if upcast else jnp.bfloat16
+    if upcast:
+        q_h = q_h.astype(mxu)
+        kb_h = kb_h.astype(mxu)
+        vb_h = vb_h.astype(mxu)
 
-    k_op = kt_h.astype(jnp.bfloat16) if kt_h.dtype == jnp.int8 else kt_h
+    k_op = kt_h.astype(mxu) if kt_h.dtype != mxu else kt_h
     sc_s = jax.lax.dot_general(
         q_h, k_op, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale          # (B, S)
@@ -86,30 +103,30 @@ def _head_attention(q_h, kt_h, vt_h, kb_h, vb_h, index0, block_index,
     denom = jnp.sum(p_s, axis=1) + jnp.sum(p_b, axis=1)
 
     pv = p_s * v_scale_h[None, :] if v_scale_h is not None else p_s
-    v_op = vt_h.astype(jnp.bfloat16) if vt_h.dtype == jnp.int8 else vt_h
+    v_op = vt_h.astype(mxu) if vt_h.dtype != mxu else vt_h
     o_s = jax.lax.dot_general(
-        pv.astype(jnp.bfloat16), v_op, (((1,), (1,)), ((), ())),
+        pv.astype(mxu), v_op, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                   # (B, dh)
     vb2 = vb_h.reshape(b * bw, dh)
     o_b = jax.lax.dot_general(
-        p_b.astype(jnp.bfloat16), vb2, (((1,), (0,)), ((), ())),
+        p_b.astype(mxu), vb2, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                   # (B, dh)
     return (o_s + o_b) / denom[:, None]
 
 
 def _kernel_t_bf16(idx_ref, q_ref, kt_ref, vt_ref, kb_ref, vb_ref, out_ref,
-                   *, scale):
+                   *, scale, upcast=False):
     index0, block_index = idx_ref[0], idx_ref[1]
     h = q_ref.shape[1]
     for i in range(h):
         out = _head_attention(q_ref[0, i], kt_ref[0, i], vt_ref[0, i],
                               kb_ref[0, i], vb_ref[0, i], index0,
-                              block_index, scale)
+                              block_index, scale, upcast=upcast)
         out_ref[0, i] = out.astype(out_ref.dtype)
 
 
 def _kernel_t_int8(idx_ref, q_ref, kt_ref, ks_ref, vt_ref, vs_ref, kb_ref,
-                   vb_ref, out_ref, *, scale):
+                   vb_ref, out_ref, *, scale, upcast=False):
     index0, block_index = idx_ref[0], idx_ref[1]
     h = q_ref.shape[1]
     for i in range(h):
@@ -117,7 +134,8 @@ def _kernel_t_int8(idx_ref, q_ref, kt_ref, ks_ref, vt_ref, vs_ref, kb_ref,
                               kb_ref[0, i], vb_ref[0, i], index0,
                               block_index, scale,
                               k_scale_h=ks_ref[0, i].astype(jnp.float32),
-                              v_scale_h=vs_ref[0, i].astype(jnp.float32))
+                              v_scale_h=vs_ref[0, i].astype(jnp.float32),
+                              upcast=upcast)
         out_ref[0, i] = out.astype(out_ref.dtype)
 
 
@@ -133,13 +151,16 @@ def _prep_qb(q, k_block, v_block, n):
     return q4, kb, vb, b, bw, h, dh
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def shared_prefix_attention_fused_t(q, kt_shared, vt_shared, k_block,
-                                    v_block, index0, block_index):
+                                    v_block, index0, block_index,
+                                    interpret=None):
     """Fused shared-prefix rollout attention over TRANSPOSED (N, H, dh, S)
     prefix caches (dense lane tiles).  Drop-in output-compatible with
     ``attention.shared_prefix_attention``; q/k_block/v_block keep their
-    engine shapes ((N*B, 1, D) / (N*B, H, bw, dh))."""
+    engine shapes ((N*B, 1, D) / (N*B, H, bw, dh)).  ``interpret=None``
+    auto-selects the Pallas interpreter off-TPU (CPU CI, same math)."""
+    interpret = _resolve_interpret(interpret)
     n, h, dh, s = kt_shared.shape
     q4, kb, vb, b, bw, _, _ = _prep_qb(q, k_block, v_block, n)
     scale = 1.0 / math.sqrt(dh)
@@ -159,9 +180,10 @@ def shared_prefix_attention_fused_t(q, kt_shared, vt_shared, k_block,
         out_specs=pl.BlockSpec((1, h, b, dh), lambda i, idx: (i, 0, 0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_t_bf16, scale=scale),
+        functools.partial(_kernel_t_bf16, scale=scale, upcast=interpret),
         out_shape=jax.ShapeDtypeStruct((n, h, b, dh), q.dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(idx, q4, kt_shared, vt_shared, kb, vb)
     return out.transpose(0, 2, 1, 3).reshape(q.shape[0], 1, q.shape[2])
 
@@ -178,7 +200,8 @@ def shared_prefix_attention_fused_t(q, kt_shared, vt_shared, k_block,
 
 
 def _kernel_flat(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
-                 out_ref, ms_ref, mb_ref, *, ks_ref=None, vs_ref=None):
+                 out_ref, ms_ref, mb_ref, *, ks_ref=None, vs_ref=None,
+                 upcast=False):
     """``G`` batch elements per grid program (G = block's leading dim;
     grouping amortizes per-program overhead — the G=1 kernel spends most
     of its time in program dispatch, not DMA).  q (G,H,B,dh) PRE-SCALED
@@ -212,12 +235,15 @@ def _kernel_flat(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
 
     mask_s = ms_ref[...]
     mask_b = mb_ref[...]
+    mxu = jnp.float32 if upcast else jnp.bfloat16
 
     for gi in range(g):
         q2 = q_ref[gi].reshape(hb, dh)              # row r = head*B + b
+        if upcast:
+            q2 = q2.astype(mxu)
 
         kil = kil_ref[gi]
-        k_op = kil.astype(jnp.bfloat16) if kil.dtype == jnp.int8 else kil
+        k_op = kil.astype(mxu) if kil.dtype != mxu else kil
         sc_s = jax.lax.dot_general(
             q2, k_op, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # (HB, S*H)
@@ -225,7 +251,7 @@ def _kernel_flat(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
             sc_s = sc_s * ks_ref[gi].reshape(1, sh).astype(jnp.float32)
         sc_s = sc_s + mask_s
 
-        kb2 = kb_ref[gi].reshape(hb * bw, dh)       # c2 = (h2*B + b2)*bw + t
+        kb2 = kb_ref[gi].reshape(hb * bw, dh).astype(mxu)  # c2=(h2*B+b2)*bw+t
         sc_b = jax.lax.dot_general(
             q2, kb2, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) + mask_b     # (HB, HB*bw)
@@ -238,28 +264,30 @@ def _kernel_flat(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
         if vs_ref is not None:
             p_s = p_s * vs_ref[gi].reshape(1, sh).astype(jnp.float32)
         vil = vil_ref[gi]
-        v_op = vil.astype(jnp.bfloat16) if vil.dtype == jnp.int8 else vil
+        v_op = vil.astype(mxu) if vil.dtype != mxu else vil
         o_s = jax.lax.dot_general(
-            p_s.astype(jnp.bfloat16), v_op, (((1,), (1,)), ((), ())),
+            p_s.astype(mxu), v_op, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (HB, dh)
-        vb2 = vb_ref[gi].reshape(hb * bw, dh)
+        vb2 = vb_ref[gi].reshape(hb * bw, dh).astype(mxu)
         o_b = jax.lax.dot_general(
-            p_b.astype(jnp.bfloat16), vb2, (((1,), (0,)), ((), ())),
+            p_b.astype(mxu), vb2, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         out = (o_s + o_b) / denom[:, None]
         out_ref[gi] = out.reshape(h, b, dh).astype(out_ref.dtype)
 
 
 def _kernel_flat_bf16(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
-                      out_ref, ms_ref, mb_ref):
+                      out_ref, ms_ref, mb_ref, *, upcast=False):
     _kernel_flat(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
-                 out_ref, ms_ref, mb_ref)
+                 out_ref, ms_ref, mb_ref, upcast=upcast)
 
 
 def _kernel_flat_int8(idx_ref, q_ref, kil_ref, ks_ref, vil_ref, vs_ref,
-                      kb_ref, vb_ref, out_ref, ms_ref, mb_ref):
+                      kb_ref, vb_ref, out_ref, ms_ref, mb_ref, *,
+                      upcast=False):
     _kernel_flat(idx_ref, q_ref, kil_ref, vil_ref, kb_ref, vb_ref,
-                 out_ref, ms_ref, mb_ref, ks_ref=ks_ref, vs_ref=vs_ref)
+                 out_ref, ms_ref, mb_ref, ks_ref=ks_ref, vs_ref=vs_ref,
+                 upcast=upcast)
 
 
 def flat_segment_supported(heads, num_beam, block_width):
@@ -294,17 +322,18 @@ def interleave_scale(scale_t):
     return scale_t.transpose(0, 2, 1).reshape(n, s * h)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "group"))
+@functools.partial(jax.jit, static_argnames=("heads", "group", "interpret"))
 def shared_prefix_attention_fused_flat(q, k_il, v_il, k_block, v_block,
                                        index0, block_index, heads,
                                        k_scale=None, v_scale=None,
-                                       group=None):
+                                       group=None, interpret=None):
     """Fused shared-prefix rollout attention over INTERLEAVED (N, dh, S*H)
     prefix caches.  bf16, or int8 with in-kernel dequant when per-column
     scales (N, S*H) are given.  ``group`` batch elements share one grid
     program (default: largest of 8/4/2/1 dividing N) — the G=1 grid is
     program-dispatch-bound, not DMA-bound.  Output-compatible with
     ``attention.shared_prefix_attention``."""
+    interpret = _resolve_interpret(interpret)
     n, dh, sh = k_il.shape
     q4, kb, vb, b, bw, h, _ = _prep_qb(q, k_block, v_block, n)
     assert h == heads
@@ -364,7 +393,9 @@ def shared_prefix_attention_fused_flat(q, k_il, v_il, k_block, v_block,
         out_specs=pl.BlockSpec((g, h, b, dh), lambda i, idx: (i, 0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((hb, sh), jnp.float32),
                         pltpu.VMEM((hb, hb * bw), jnp.float32)])
-    kernel = _kernel_flat_int8 if quant else _kernel_flat_bf16
+    kernel = functools.partial(
+        _kernel_flat_int8 if quant else _kernel_flat_bf16,
+        upcast=interpret)
     out = pl.pallas_call(
         kernel, out_shape=jax.ShapeDtypeStruct((n, h, b, dh), q.dtype),
         grid_spec=grid_spec,
@@ -374,14 +405,15 @@ def shared_prefix_attention_fused_flat(q, k_il, v_il, k_block, v_block,
         # blocks and the body's f32 score intermediates at beams shapes
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
     )(idx, *args)
     return out.transpose(0, 2, 1, 3).reshape(q.shape[0], 1, q.shape[2])
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def shared_prefix_attention_fused_int8(q, k8t_shared, k_scale, v8t_shared,
                                        v_scale, k_block, v_block, index0,
-                                       block_index):
+                                       block_index, interpret=None):
     """int8 shared-prefix rollout attention with IN-KERNEL dequantization.
 
     The prefix K/V stream from HBM as dense int8 (N, H, dh, S) tiles — half
@@ -390,6 +422,7 @@ def shared_prefix_attention_fused_int8(q, k8t_shared, k_scale, v8t_shared,
     probabilities (V side), so no dequantized copy of the cache ever
     materializes (the XLA int8 path's bottleneck, ``ops/kv_quant.py``).
     """
+    interpret = _resolve_interpret(interpret)
     n, h, dh, s = k8t_shared.shape
     q4, kb, vb, b, bw, _, _ = _prep_qb(q, k_block, v_block, n)
     scale = 1.0 / math.sqrt(dh)
@@ -411,8 +444,9 @@ def shared_prefix_attention_fused_int8(q, k8t_shared, k_scale, v8t_shared,
         out_specs=pl.BlockSpec((1, h, b, dh), lambda i, idx: (i, 0, 0, 0)),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_t_int8, scale=scale),
+        functools.partial(_kernel_t_int8, scale=scale, upcast=interpret),
         out_shape=jax.ShapeDtypeStruct((n, h, b, dh), q.dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(idx, q4, k8t_shared, k_scale, v8t_shared, v_scale, kb, vb)
     return out.transpose(0, 2, 1, 3).reshape(q.shape[0], 1, q.shape[2])

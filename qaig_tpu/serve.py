@@ -11,14 +11,13 @@ waiting while the device is busy and runs them as ONE padded batch (batch
 sizes bucketed to ``batch_multiple * 2^k`` so the jitted pipeline compiles
 O(log max_batch) shapes, not one per arrival pattern), then splits the
 rows back per request.  N concurrent 1-image requests cost ~one cascade
-dispatch instead of N full latencies.  Determinism note: a SOLO request
-always runs with its own seed at its own row count (padded only to the
-mesh multiple), reproducing the batch CLI exactly on an unsharded server;
-a request's result under coalescing is determined by the merged batch
-composition — the decode draws one categorical key per step across the
-merged batch, so co-batched neighbours shift the per-row sampling noise.
-``max_batch`` is rounded down to a ``batch_multiple`` multiple so no
-padded dispatch exceeds the operator's memory bound.
+dispatch instead of N full latencies.  Determinism: sampling is ROW-KEYED
+(``pipeline.derive_row_keys``) — row ``j`` of a request with seed ``S``
+always draws from ``fold_in(PRNGKey(S), j)`` regardless of what it was
+batched with, so the same request returns the same tokens solo and
+coalesced (and matches ``pipeline.generate(num, seed=S)``).  Padding rows
+use throwaway keys.  ``max_batch`` is rounded down to a ``batch_multiple``
+multiple so no padded dispatch exceeds the operator's memory bound.
 
 Endpoints
 ---------
@@ -68,6 +67,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from qaig_tpu.infer.pipeline import derive_row_keys
+
 # Per-request temperatures are quantized to this grid and clamped to this
 # range: every DISTINCT value compiles (once) its own set of decode
 # programs, so an untrusted client must not be able to mint unbounded
@@ -101,9 +102,10 @@ class RequestBatcher:
 
     Handler threads :meth:`submit` and block; one dispatcher thread drains
     everything pending (up to ``max_batch`` rows), pads the merged count up
-    to a ``batch_multiple * 2^k`` bucket, runs ONE ``pipeline.generate``,
-    and hands each caller its slice.  The batch seed folds every request's
-    seed together so identical compositions reproduce.
+    to a ``batch_multiple * 2^k`` bucket, runs ONE ``pipeline.generate``
+    with PER-REQUEST row keys (each request's rows keyed by its own seed,
+    numbered from 0), and hands each caller its slice — a request's tokens
+    are independent of its co-batch.
     """
 
     def __init__(self, pipeline, max_batch=64, batch_multiple=1,
@@ -237,25 +239,32 @@ class RequestBatcher:
                     else:
                         i += 1
             if len(batch) == 1:
-                # solo = batch-CLI semantics: the request's own seed, padded
-                # only as far as the mesh requires (exactly num rows when
-                # batch_multiple is 1) — bucketing a solo request would
-                # change its row count and hence its sampling draws.
+                # solo: padded only as far as the mesh requires (exactly
+                # num rows when batch_multiple is 1)
                 padded = (-(-batch[0]["num"] // self.batch_multiple)
                           * self.batch_multiple)
-                seed = batch[0]["seed"]
             else:
                 padded = self._bucket(total)
-                seed = 0
-                for req in batch:
-                    seed = (seed * 1000003 + req["num"] * 31
-                            + req["seed"]) % (2 ** 31 - 1)
             t0 = time.monotonic()
             failed = False
             try:
                 kwargs = ({} if batch[0]["temp"] is None
                           else {"temperature": batch[0]["temp"]})
-                images, tokens = pipeline.generate(padded, seed=seed,
+                # Row-keyed sampling: request rows keyed by their OWN seed
+                # (rows numbered from 0 within the request), padding rows
+                # by throwaway keys (row numbers >= 1<<20 so they can't
+                # collide with a real request's rows) — result ==
+                # pipeline.generate(num, seed) for every request, whatever
+                # it was batched with.
+                parts = [derive_row_keys(req["seed"], req["num"])
+                         for req in batch]
+                if padded > total:
+                    parts.append(derive_row_keys(0, padded - total,
+                                                 start=1 << 20))
+                row_keys = np.concatenate(
+                    [np.asarray(p) for p in parts], axis=0)
+                images, tokens = pipeline.generate(padded,
+                                                   row_keys=row_keys,
                                                    **kwargs)
                 images, tokens = np.asarray(images), np.asarray(tokens)
                 offset = 0

@@ -313,17 +313,22 @@ def validate_parallel_args(cfg, batch_size, args):
             raise ValueError(
                 f"batch size {batch_size} not divisible by "
                 f"--num-microbatches {num_microbatches}")
-        if n_model > 1 and args.get("bf16"):
+        if n_model > 1 and args.get("bf16") \
+                and jax.default_backend() == "cpu":
             # PP x TP uses a partially-manual shard_map ('model' left to
-            # GSPMD); this toolchain's XLA aborts the process promoting
-            # bf16 all-reduces under that layout (AllReducePromotion
-            # pass).  A ValueError beats a SIGABRT.
+            # GSPMD); XLA:CPU aborts the process promoting bf16
+            # all-reduces under that layout (AllReducePromotion pass) — a
+            # host-backend toolchain limitation, so the rejection is gated
+            # on the backend: on TPU the combination is allowed (the TPU
+            # compiler promotes bf16 collectives fine).  A ValueError
+            # beats a SIGABRT on the backend that would abort.
             raise ValueError(
                 "--bf16 cannot be combined with both "
-                "--num-pipeline-stages and --num-model-shards: bf16 "
-                "all-reduces under the partially-manual PP x TP mesh hit "
-                "an XLA AllReducePromotion abort. Use fp32 for PP x TP, "
-                "or bf16 with PP or TP alone.")
+                "--num-pipeline-stages and --num-model-shards on the CPU "
+                "backend: bf16 all-reduces under the partially-manual "
+                "PP x TP mesh hit an XLA:CPU AllReducePromotion abort. "
+                "Use fp32 for PP x TP on CPU, bf16 with PP or TP alone, "
+                "or run on TPU where the full combination is supported.")
         if args.get("zero_opt"):
             raise ValueError(
                 "--zero-opt cannot be combined with "

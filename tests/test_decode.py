@@ -525,3 +525,69 @@ def test_flat_decode_engine_falls_back_on_unsupported_shapes(rng):
         params, init, steps, key, settings, num_beam=2, beam_width=4,
         x_enc=x_enc))
     np.testing.assert_array_equal(got, want)
+
+
+def test_flat_decode_engine_matches_xla_on_supported_shapes(rng):
+    """flat_decode=True on shapes the kernel DOES support (bw=8, H*B<=64)
+    routes rollout segments through the interleaved flat Pallas kernel —
+    on the CPU CI backend via the Pallas interpreter
+    (``decode_attention._resolve_interpret``) — and the trajectory tracks
+    the XLA engine (same math, float-tolerance reduction-order drift can
+    flip rare near-tie sampling draws)."""
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+
+    cfg = _small_cfg(use_encoder=True, use_pos_cond=False, out_dim=17,
+                     num_dec_embedding=17)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    n, steps = 2, 16
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+    init = jnp.full((n, 1), 16, jnp.int32)
+    settings = SamplerSettings(temperature=1.0, end_token=16,
+                               end_mode="mask")
+    key = jax.random.PRNGKey(9)
+
+    engine = DecodeEngine(model, flat_decode=True)
+    assert engine._flat_segment(num_beam=2, block_width=8)  # kernel path on
+
+    want = np.asarray(DecodeEngine(model).rollout_generate(
+        params, init, steps, key, settings, num_beam=2, beam_width=8,
+        x_enc=x_enc))
+    got = np.asarray(engine.rollout_generate(
+        params, init, steps, key, settings, num_beam=2, beam_width=8,
+        x_enc=x_enc))
+    assert got.shape == want.shape
+    assert got.min() >= 0 and got.max() < 17
+    agreement = float((got == want).mean())
+    assert agreement >= 0.9, f"agreement {agreement}"
+
+
+def test_flat_decode_engine_int8_prefix_runs_off_chip(rng):
+    """flat_decode + quantized_prefix: the in-kernel-dequant flat variant
+    (interleaved int8 caches + per-column scales) executes via the Pallas
+    interpreter on CPU and stays shape/vocab-valid, tracking the exact
+    engine."""
+    from qaig_tpu.infer.decode import DecodeEngine, SamplerSettings
+
+    cfg = _small_cfg(use_encoder=True, use_pos_cond=False, out_dim=17,
+                     num_dec_embedding=17)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    n, steps = 2, 16
+    x_enc = jnp.asarray(rng.integers(0, cfg.num_enc_embedding, (n, 4)))
+    init = jnp.full((n, 1), 16, jnp.int32)
+    settings = SamplerSettings(temperature=1.0, end_token=16,
+                               end_mode="mask")
+    key = jax.random.PRNGKey(9)
+
+    exact = np.asarray(DecodeEngine(model).rollout_generate(
+        params, init, steps, key, settings, num_beam=2, beam_width=8,
+        x_enc=x_enc))
+    got = np.asarray(
+        DecodeEngine(model, quantized_prefix=True, flat_decode=True)
+        .rollout_generate(params, init, steps, key, settings, num_beam=2,
+                          beam_width=8, x_enc=x_enc))
+    assert got.shape == exact.shape
+    assert got.min() >= 0 and got.max() < 17
+    agreement = float((got == exact).mean())
+    assert agreement >= 0.5, f"agreement {agreement}"

@@ -1,9 +1,13 @@
 """Fused shared-prefix decode-attention kernels vs the XLA einsum path.
 
-TPU-only (Pallas TPU kernels don't run on the CPU test backend).  Round 3:
-the transposed-layout (N, H, dh, S) kernels — bf16 and int8 with in-kernel
-dequantization — match the XLA path at engine shapes; see
-docs/PERFORMANCE.md for the shipped-default decision.
+On a TPU backend these run the compiled Mosaic kernels; on the CPU CI
+backend the kernels auto-select the Pallas interpreter
+(``decode_attention._resolve_interpret``) — same math, so the parity
+assertions hold either way and the `--flat-decode`/`--int8-kv` engine
+routing gets coverage off-chip.  Round 3: the transposed-layout
+(N, H, dh, S) kernels — bf16 and int8 with in-kernel dequantization —
+match the XLA path at engine shapes; see docs/PERFORMANCE.md for the
+shipped-default decision.
 """
 
 import numpy as np
@@ -11,15 +15,16 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-pytestmark = pytest.mark.skipif(
-    jax.default_backend() not in ("tpu", "axon"),
-    reason="Pallas TPU kernel needs a TPU backend")
-
 
 def _inputs(n=8, b=4, h=8, s=256, dh=64, bw=8, seed=0):
+    # bf16 on a TPU backend (engine dtype); f32 on the CPU CI backend —
+    # XLA:CPU's dot thunk has no bf16 path, and the interpreter run is
+    # about kernel logic (masks, interleave indexing, in-kernel scales),
+    # with bf16 numerics covered on-chip.
+    dtype = (jnp.bfloat16 if jax.default_backend() in ("tpu", "axon")
+             else jnp.float32)
     rng = np.random.default_rng(seed)
-    mk = lambda shape: jnp.asarray(rng.standard_normal(shape) * 0.1,
-                                   jnp.bfloat16)
+    mk = lambda shape: jnp.asarray(rng.standard_normal(shape) * 0.1, dtype)
     return (mk((n * b, 1, h * dh)), mk((n, h, dh, s)), mk((n, h, dh, s)),
             mk((n * b, h, bw, dh)), mk((n * b, h, bw, dh)))
 

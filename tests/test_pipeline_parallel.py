@@ -224,11 +224,67 @@ def test_pp_tp_composed_train_step_matches_single_device(rng):
         want, atol=1e-5)
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu" or len(jax.devices()) < 8,
+    reason="bf16 + PP x TP needs a multi-chip TPU backend (the rejection "
+           "this exercises the absence of is XLA:CPU-only)")
+def test_pp_tp_bf16_train_step_runs_on_tpu(rng):
+    """Flagship precision composes with the full parallelism stack on TPU:
+    the bf16 PP x TP step (the combination validate_parallel_args rejects
+    on the CPU backend because XLA:CPU aborts in AllReducePromotion) runs
+    and tracks the unsharded bf16 step's loss."""
+    lr_cb = Codebook(patch_dim=(8, 8), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=8, init_neighbour_range=4)
+    hr_cb = Codebook(patch_dim=(2, 2), image_dim=(8, 8), image_channel=2,
+                     num_embeddings=16, init_neighbour_range=8)
+    cfg = TransformerConfig(
+        use_encoder=True, use_pos_cond=False, num_enc_layers=1,
+        num_dec_layers=2, num_enc_embedding=8, num_dec_embedding=17,
+        self_attn_heads=2, cross_attn_heads=2, in_dim=16, out_dim=17,
+        hidden_dim=32, hidden_activation="silu")
+    model = Transformer(cfg)
+    optimizer = make_adam(1e-3, 100)
+    lr_params = lr_cb.init(jax.random.PRNGKey(1))
+    hr_params = hr_cb.init(jax.random.PRNGKey(2))
+    fmap = jnp.asarray(rng.standard_normal((8, 2, 8, 8)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    params = model.init(jax.random.PRNGKey(0))
+    step = make_train_step(model, optimizer, lr_cb, hr_cb, False, 8, 16,
+                           bf16=True)
+    _, _, want = step(params, optimizer.init(params),
+                      (lr_params, hr_params), fmap, key)
+
+    mesh = make_mesh(n_data=2, n_pipe=2, n_model=2)
+    params_p = pipeline.stack_params(model.init(jax.random.PRNGKey(0)))
+    spec = pipeline.pipeline_param_spec(params_p)
+    params_p = shard_tree(mesh, params_p, spec)
+    from qaig_tpu.parallel.sharding import shard_opt_state
+    opt_p = shard_opt_state(mesh, optimizer,
+                            pipeline.stack_params(
+                                optimizer.init(model.init(
+                                    jax.random.PRNGKey(0)))), spec)
+    step_p = make_train_step(model, optimizer, lr_cb, hr_cb, False, 8, 16,
+                             bf16=True, pipeline_mesh=mesh,
+                             num_microbatches=2)
+    new_p, _, got = step_p(params_p, opt_p, (lr_params, hr_params),
+                           jax.device_put(fmap,
+                                          batch_sharding(mesh, ndim=4)),
+                           key)
+    assert np.isfinite(float(got))
+    # bf16 rounding differs with the reduction layout; stay loose
+    assert abs(float(got) - float(want)) < 5e-2
+    assert pipeline.unstack_params(new_p, 2)[
+        "classifier"]["l0"]["w"].dtype == jnp.float32
+
+
 def test_parallel_arg_validation():
     """CLI flag validation for the PP/TP/bf16 combinations, including the
-    explicit rejection of bf16 + PP x TP (XLA aborts promoting bf16
-    all-reduces under the partially-manual mesh, so run() must raise a
-    ValueError before compiling)."""
+    CPU-backend-only rejection of bf16 + PP x TP (XLA:CPU aborts promoting
+    bf16 all-reduces under the partially-manual mesh, so run() must raise a
+    ValueError before compiling there; on TPU the combination is allowed —
+    this suite runs on the forced-CPU conftest backend, so the raise path
+    is what's exercised here)."""
     from qaig_tpu.train.transformer import validate_parallel_args
     cfg = TransformerConfig(
         use_encoder=False, num_dec_layers=4, num_dec_embedding=17,
@@ -248,6 +304,7 @@ def test_parallel_arg_validation():
     assert validate_parallel_args(
         cfg, 8, {"num_model_shards": 2, "bf16": True}) == (2, 1, None)
 
+    assert jax.default_backend() == "cpu"  # the rejection is CPU-gated
     with pytest.raises(ValueError, match="bf16"):
         validate_parallel_args(cfg, 8, {"num_pipeline_stages": 2,
                                         "num_model_shards": 2, "bf16": True})

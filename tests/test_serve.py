@@ -229,6 +229,28 @@ def test_generation_server_tensor_parallel_mesh(gen_config):
         server.stop()
 
 
+def test_pipeline_row_keys_composition_invariance(gen_config):
+    """Row-keyed generation end-to-end on real models: the rows of a
+    request generated inside a merged batch equal its solo run bit-for-bit
+    — ``generate(n, seed=s)`` == the matching slice of a batch built from
+    ``derive_row_keys(s, n)`` plus any co-batch (the serving contract)."""
+    from qaig_tpu.infer.pipeline import CascadePipeline, derive_row_keys
+
+    config, decoder_path = gen_config
+    pipe = CascadePipeline.from_config(config, decoder_path,
+                                       logging=lambda m: None)
+    solo_img, solo_tok = pipe.generate(2, seed=5)
+    other_img, other_tok = pipe.generate(3, seed=9)
+
+    merged_keys = np.concatenate([np.asarray(derive_row_keys(5, 2)),
+                                  np.asarray(derive_row_keys(9, 3))], axis=0)
+    img, tok = pipe.generate(5, row_keys=merged_keys)
+    np.testing.assert_array_equal(np.asarray(tok)[:2], np.asarray(solo_tok))
+    np.testing.assert_array_equal(np.asarray(img)[:2], np.asarray(solo_img))
+    np.testing.assert_array_equal(np.asarray(tok)[2:], np.asarray(other_tok))
+    np.testing.assert_array_equal(np.asarray(img)[2:], np.asarray(other_img))
+
+
 def test_request_batcher_coalesces_concurrent_requests():
     """8 parallel 1-image requests merge into a couple of device dispatches
     (not 8 serialized full-latency calls) and every caller gets its rows."""
@@ -240,7 +262,7 @@ def test_request_batcher_coalesces_concurrent_requests():
     calls = []
 
     class FakePipe:
-        def generate(self, num, seed=0):
+        def generate(self, num, row_keys=None):
             calls.append(num)
             time.sleep(0.15)  # one "device dispatch" of fixed latency
             return (np.zeros((num, 3, 4, 4), np.float32),
@@ -277,7 +299,7 @@ def test_request_batcher_pads_to_multiple():
     calls = []
 
     class FakePipe:
-        def generate(self, num, seed=0):
+        def generate(self, num, row_keys=None):
             calls.append(num)
             return (np.zeros((num, 3, 2, 2), np.float32),
                     np.zeros((num, 2), np.int32))
@@ -289,18 +311,19 @@ def test_request_batcher_pads_to_multiple():
     assert calls == [4]  # padded to the sharding multiple
 
 
-def test_request_batcher_solo_request_is_cli_deterministic():
-    """A solo request must dispatch with ITS OWN seed at its own row count
-    (no power-of-2 bucketing, no composition-hash seed) so an unsharded
-    server reproduces the batch CLI exactly — 3 images seed 7 used to
-    dispatch generate(4, hash) and return different samples."""
+def test_request_batcher_solo_request_matches_pipeline_generate():
+    """A solo request dispatches at its own row count (no power-of-2
+    bucketing) with row keys derived from ITS OWN seed — exactly the keys
+    ``pipeline.generate(num, seed)`` would use — so an unsharded server
+    reproduces the library result for that (num, seed)."""
+    from qaig_tpu.infer.pipeline import derive_row_keys
     from qaig_tpu.serve import RequestBatcher
 
     calls = []
 
     class FakePipe:
-        def generate(self, num, seed=0):
-            calls.append((num, seed))
+        def generate(self, num, row_keys=None):
+            calls.append((num, np.asarray(row_keys)))
             return (np.zeros((num, 3, 2, 2), np.float32),
                     np.zeros((num, 2), np.int32))
 
@@ -308,7 +331,55 @@ def test_request_batcher_solo_request_is_cli_deterministic():
     images, _ = batcher.submit(3, seed=7)
     batcher.stop()
     assert images.shape[0] == 3
-    assert calls == [(3, 7)]
+    assert len(calls) == 1 and calls[0][0] == 3
+    np.testing.assert_array_equal(calls[0][1],
+                                  np.asarray(derive_row_keys(7, 3)))
+
+
+def test_request_batcher_sampling_is_composition_invariant():
+    """A request's tokens are a pure function of its own (seed, num) —
+    identical solo and coalesced — because every row is keyed by the
+    REQUEST's seed, not the merged batch composition (VERDICT r3 #7)."""
+    import threading
+    import time as _time
+
+    from qaig_tpu.serve import RequestBatcher
+
+    class KeyedPipe:
+        # token row j is derived from row_keys[j]: each caller can verify
+        # the rows it got back were keyed by ITS OWN seed, whatever the
+        # co-batch and padding looked like
+        def generate(self, num, row_keys=None):
+            _time.sleep(0.15)
+            keys = np.asarray(row_keys).astype(np.int64)
+            tok = keys.sum(axis=1) % 97
+            tok = np.stack([tok, tok + 1], axis=1).astype(np.int32)
+            return np.zeros((num, 3, 2, 2), np.float32), tok
+
+    batcher = RequestBatcher(KeyedPipe(), max_batch=16, batch_multiple=4)
+    _, solo = batcher.submit(3, seed=7)  # solo run of (seed=7, num=3)
+
+    # same request again, now merged with neighbours: occupy the
+    # dispatcher, then queue it together with a co-request so both land in
+    # one coalesced (and padded) dispatch
+    results = {}
+
+    def call(name, num, seed):
+        results[name] = batcher.submit(num, seed=seed)
+
+    head = threading.Thread(target=call, args=("head", 1, 0))
+    head.start()
+    _time.sleep(0.05)
+    rest = [threading.Thread(target=call, args=("a", 3, 7)),
+            threading.Thread(target=call, args=("b", 5, 123))]
+    for t in rest:
+        t.start()
+    for t in rest + [head]:
+        t.join()
+    m = batcher.metrics()
+    batcher.stop()
+    assert m["coalesced_dispatches_total"] >= 1
+    np.testing.assert_array_equal(results["a"][1], solo)
 
 
 def test_request_batcher_max_batch_never_exceeded():
@@ -322,7 +393,7 @@ def test_request_batcher_max_batch_never_exceeded():
     calls = []
 
     class FakePipe:
-        def generate(self, num, seed=0):
+        def generate(self, num, row_keys=None):
             calls.append(num)
             return (np.zeros((num, 3, 2, 2), np.float32),
                     np.zeros((num, 2), np.int32))
@@ -354,7 +425,7 @@ def test_server_backpressure_rejects_with_503():
     from qaig_tpu.serve import GenerationServer
 
     class SlowPipe:
-        def generate(self, num, seed=0):
+        def generate(self, num, row_keys=None):
             _time.sleep(0.8)
             return (np.zeros((num, 3, 2, 2), np.float32),
                     np.zeros((num, 2), np.int32))
@@ -406,7 +477,7 @@ def test_request_batcher_queue_timeout():
     from qaig_tpu.serve import RequestBatcher, RequestTimeoutError
 
     class SlowPipe:
-        def generate(self, num, seed=0):
+        def generate(self, num, row_keys=None):
             _time.sleep(0.5)
             return (np.zeros((num, 3, 2, 2), np.float32),
                     np.zeros((num, 2), np.int32))
@@ -452,7 +523,7 @@ def test_request_batcher_groups_by_temperature():
     calls = []
 
     class FakePipe:
-        def generate(self, num, seed=0, temperature=None):
+        def generate(self, num, row_keys=None, temperature=None):
             _time.sleep(0.3)
             calls.append((num, temperature))
             return (np.zeros((num, 3, 2, 2), np.float32),
@@ -636,7 +707,7 @@ def test_submit_after_stop_is_retryable():
     from qaig_tpu.serve import RequestBatcher, ServerOverloadedError
 
     class FakePipe:
-        def generate(self, num, seed=0):
+        def generate(self, num, row_keys=None):
             return (np.zeros((num, 3, 2, 2), np.float32),
                     np.zeros((num, 2), np.int32))
 
@@ -657,7 +728,7 @@ def test_request_batcher_concurrent_stress():
     from qaig_tpu.serve import RequestBatcher
 
     class FakePipe:
-        def generate(self, num, seed=0, temperature=None):
+        def generate(self, num, row_keys=None, temperature=None):
             _time.sleep(0.01)
             # encode the row index so slicing bugs are visible
             tok = np.arange(num, dtype=np.int32)[:, None].repeat(2, axis=1)
