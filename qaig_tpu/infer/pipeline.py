@@ -69,6 +69,12 @@ class CascadePipeline:
         self.decoder = decoder
         self.dec_params = dec_params
         self.mesh = mesh
+        # (num_images, temperature) -> jitted whole-cascade program; see
+        # generate().  Keeps batch-1 latency at ONE device dispatch instead
+        # of hundreds of per-segment dispatches (each paying a host->device
+        # round-trip — the dominant cost of small interactive requests,
+        # especially through a remote-backend relay).
+        self._fused_cache = {}
         if mesh is not None:
             from qaig_tpu.parallel import shard_tree
             from qaig_tpu.parallel.sharding import transformer_param_spec
@@ -231,17 +237,80 @@ class CascadePipeline:
             per_stage.append(tokens)
         return tokens, per_stage
 
+    def _fused_program(self, num_images, temperature):
+        """One jitted program for the WHOLE cascade (all stages + codebook
+        lookup + pixel decode) at a fixed (batch, temperature): a solo
+        request costs one device dispatch instead of hundreds of sequential
+        per-segment programs, each paying a host->device round-trip.  Same
+        math as generate_tokens' dispatched loop (the per-segment programs
+        are traced inline), row-keyed mode only."""
+        key = (num_images, temperature)
+        fn = self._fused_cache.get(key)
+        if fn is not None:
+            return fn
+        import dataclasses
+        last = self.stages[-1]
+
+        def run(stage_params, hr_params, dec_params, row_keys):
+            tokens = None
+            for stage_idx, (stage, sp) in enumerate(
+                    zip(self.stages, stage_params)):
+                settings = stage.settings
+                if temperature is not None:
+                    settings = dataclasses.replace(
+                        settings, temperature=float(temperature))
+                gen_rng = jax.vmap(
+                    lambda k: jax.random.fold_in(k, stage_idx))(row_keys)
+                if stage.is_base:
+                    init_keys = jax.vmap(lambda k: jax.random.fold_in(
+                        k, _INIT_TAG))(gen_rng)
+                    init = jax.vmap(lambda k: jax.random.randint(
+                        k, (1,), 0, stage.lr_num_embeddings))(init_keys)
+                    x_enc = None
+                else:
+                    init = jnp.full((num_images, 1),
+                                    stage.hr_codebook.num_embeddings,
+                                    jnp.int32)
+                    x_enc = tokens
+                out = stage.engine.rollout_generate(
+                    sp, init, stage.total_seq, gen_rng, settings,
+                    num_beam=stage.num_beam, beam_width=stage.beam_width,
+                    x_enc=x_enc, sliding_window=stage.sliding_window)
+                tokens = out - settings.index_shift
+            quant = last.hr_codebook.get_quantized_image(hr_params, tokens)
+            images = self.decoder.apply(dec_params, quant)
+            return images.astype(jnp.float32), tokens
+
+        fn = jax.jit(run)
+        self._fused_cache[key] = fn
+        return fn
+
     def generate(self, num_images, seed=0, init_tokens=None,
-                 temperature=None, row_keys=None):
+                 temperature=None, row_keys=None, fused=None):
         """Returns (images (N, C, H, W) in [-1, 1] BGR, final tokens).
 
         Sampling is ROW-KEYED: row ``j`` draws from
         ``fold_in(PRNGKey(seed), j)`` (or ``row_keys[j]`` when given
         explicitly — the serving batcher passes per-request keys so a
         request's tokens are identical solo and coalesced).  A row's
-        result is therefore independent of the batch it runs in."""
+        result is therefore independent of the batch it runs in.
+
+        ``fused``: run the whole cascade as ONE jitted program (default
+        when unsharded and unconditioned) — one device dispatch per call
+        instead of hundreds, the batch-1 interactive-latency path.  Pass
+        ``False`` to force the per-segment dispatched loop."""
         if row_keys is None:
             row_keys = derive_row_keys(seed, num_images)
+        if fused is None:
+            fused = self.mesh is None and init_tokens is None
+        if fused:
+            if self.mesh is not None or init_tokens is not None:
+                raise ValueError("fused generation supports only the "
+                                 "unsharded, unconditioned path")
+            fn = self._fused_program(num_images, temperature)
+            return fn([s.params for s in self.stages],
+                      self.stages[-1].hr_params, self.dec_params,
+                      jnp.asarray(row_keys))
         tokens, _ = self.generate_tokens(num_images, row_keys=row_keys,
                                          init_tokens=init_tokens,
                                          temperature=temperature)
