@@ -391,19 +391,37 @@ def main():
         "decoder_path": ae_ckpt, "config_path": gen_cfg,
         "out_dir": gen_out, "num_images": args.gen_images, "seed": 69}))
     note("generation done")
+    last_stage = len(tf_specs) - 1
     report["stages"]["generation"] = {
         "num_images": args.gen_images,
-        "grid": str(gen_out / "images" / "recon_model_Cond.jpg")}
+        "grid": str(gen_out / "images" / f"recon_model_{last_stage}.jpg")}
 
     # -- collect artifacts ---------------------------------------------------------
     grids = out / "grids"
     grids.mkdir(exist_ok=True)
+
+    def last_preview(stage_dir, name):
+        """Newest preview grid the trainer wrote (previews land on
+        checkpoint steps, which may stop short of max_steps)."""
+        found = sorted((out / stage_dir / "images").glob(f"{name}_*.jpg"),
+                       key=lambda p: int(p.stem.split("_")[-1]))
+        return found[-1] if found else pathlib.Path("/nonexistent")
+
+    last_tf = tf_specs[-1][0]
     copies = {
-        "generated_final.jpg": gen_out / "images" / "recon_model_Cond.jpg",
+        # full unconditioned cascade generations (coarsest + final stage)
+        "generated_final.jpg":
+            gen_out / "images" / f"recon_model_{last_stage}.jpg",
         "generated_stage0.jpg": gen_out / "images" / "recon_model_0.jpg",
-        "generated_stage2.jpg": gen_out / "images" / "recon_model_2.jpg",
-        "train_preview_base.jpg":
-            out / "tf_base" / "images" / f"high_res_recon_{args.tf_steps}.jpg",
+        # the random stage-0 conditioning grid (decoded coarse-codebook
+        # prototypes — what generation starts from)
+        "conditioning.jpg": gen_out / "images" / "recon_model_Cond.jpg",
+        # final cascade stage's AR preview vs its ground truth: the
+        # train-loop visual-verification pair
+        "train_preview_recon.jpg":
+            last_preview(f"tf_{last_tf}", "high_res_recon"),
+        "train_preview_ground_truth.jpg":
+            last_preview(f"tf_{last_tf}", "ground_truth"),
         "dataset_sample.png": pathlib.Path(train_paths[0]),
     }
     for dst, src in copies.items():
