@@ -20,6 +20,7 @@ Prints one JSON line with all of the above in seconds.
 
 import argparse
 import json
+import pathlib
 import sys
 import time
 
@@ -46,10 +47,9 @@ def main():
                         help="skip the slow per-segment baseline")
     args = parser.parse_args()
 
-    if args.device != "auto":
-        import jax
-        jax.config.update("jax_platforms",
-                          "cpu" if args.device == "cpu" else "tpu")
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from qaig_tpu.train.common import select_platform
+    select_platform(args.device)  # relay-safe: 'tpu' keeps the env backend
     import jax
     import jax.numpy as jnp
 
