@@ -28,12 +28,19 @@ sys.path.insert(0, ".")  # repo root (bench.py)
 
 
 def timed(fn, iters):
-    import jax
-    jax.block_until_ready(fn())  # warm/compile
+    """Each iteration forces execution with a scalar fetch —
+    block_until_ready alone returns early under a remote-relay backend
+    (same method as bench.py)."""
+    import jax.numpy as jnp
+
+    def force(x):
+        leaf = x[0] if isinstance(x, tuple) else x
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    force(fn())  # warm/compile
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+        force(fn())
     return (time.perf_counter() - t0) / iters
 
 
