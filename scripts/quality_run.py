@@ -169,6 +169,11 @@ def main():
                         help="train the transformer stages in bf16 "
                              "(mixed precision; AE/codebooks stay fp32)")
     parser.add_argument("--compilation-cache-dir", default=None)
+    parser.add_argument("--stop-after", choices=["codebooks"], default=None,
+                        help="stop after the named stage (writes quality.json "
+                             "+ the tf_*.json configs so downstream probes "
+                             "like quality_bf16_ab.py can consume the run "
+                             "without re-training the transformer stages)")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes + step counts: validates the "
                              "whole flow on CPU in minutes (the quality "
@@ -350,10 +355,20 @@ def main():
             cfg_dict["cross_attn_heads"] = tf["heads"]
         tf_specs.append(("base" if is_base else f"casc{i}", is_base,
                          cb_names[i], cb_names[i + 1], cfg_dict))
+    for name, _, _, _, cfg_dict in tf_specs:
+        (out / f"tf_{name}.json").write_text(json.dumps(cfg_dict))
+    if args.stop_after == "codebooks":
+        report["stopped_after"] = "codebooks"
+        report["wall_seconds"] = round(time.time() - t_start, 1)
+        (out / "quality.json").write_text(json.dumps(report, indent=2))
+        note(f"stopped after codebooks ({report['wall_seconds']}s total)")
+        print(json.dumps({"quality_json": str(out / 'quality.json'),
+                          "ae_final_psnr": traj[-1]["psnr_recon_db"],
+                          "wall_seconds": report["wall_seconds"]}))
+        return
     tf_ckpts = {}
     for name, is_base, lr_cb, hr_cb, cfg_dict in tf_specs:
         cfg = out / f"tf_{name}.json"
-        cfg.write_text(json.dumps(cfg_dict))
         tf_out = out / f"tf_{name}"
         tf_stage.run(stage_args({
             "dataset_path": fmap_manifest, "train_base_model": is_base,

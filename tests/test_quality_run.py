@@ -56,3 +56,30 @@ def test_quality_run_smoke(tmp_path):
     grids = tmp_path / "grids"
     assert (grids / "generated_final.jpg").exists()
     assert (grids / "dataset_sample.png").exists()
+
+
+def test_quality_run_stop_after_codebooks(tmp_path):
+    """--stop-after codebooks leaves a consumable partial run: the report,
+    the trained codebook checkpoints, and the tf_*.json configs that
+    scripts/quality_bf16_ab.py reads — without training any transformer."""
+    result = subprocess.run(
+        [sys.executable, "scripts/quality_run.py", "--smoke",
+         "--stop-after", "codebooks",
+         "--out-dir", str(tmp_path), "--device", "cpu"],
+        capture_output=True, text=True, timeout=1800, cwd=str(REPO))
+    assert result.returncode == 0, (result.stdout[-2000:] +
+                                    result.stderr[-2000:])
+
+    report = json.loads((tmp_path / "quality.json").read_text())
+    assert report["stopped_after"] == "codebooks"
+    stages = report["stages"]
+    assert "autoencoder" in stages
+    assert any(k.startswith("codebook_") for k in stages)
+    assert not any(k.startswith("transformer_") for k in stages)
+
+    # the transformer configs the A/B probe consumes are written
+    assert (tmp_path / "tf_base.json").exists()
+    # codebook checkpoints referenced by the report exist on disk
+    for key, st in stages.items():
+        if key.startswith("codebook_"):
+            assert pathlib.Path(st["checkpoint"]).exists()
