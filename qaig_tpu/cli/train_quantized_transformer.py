@@ -95,6 +95,12 @@ def main():
                              "of the weights (decay per step, e.g. 0.999); "
                              "saved as model_ema in every checkpoint and "
                              "served via generate_images.py --use-ema.")
+    parser.add_argument("--grad-clip", type=float, default=None,
+                        help="Clip the gradient's global norm to this value "
+                             "before each Adam update (e.g. 1.0).  "
+                             "Beyond-reference stability: prevents the "
+                             "late-training loss spikes the reference can "
+                             "only detect (its NaN raise).")
     parser.add_argument("--keep-checkpoints", type=int, default=None,
                         help="Retention: keep only the N newest checkpoints "
                              "in --out-dir, pruning older ones after each "

@@ -114,7 +114,7 @@ def make_train_step(model, optimizer, lr_codebook, hr_codebook,
                     train_base_model, lr_num_embeddings, hr_num_embeddings,
                     sliding_window=None, bf16=False, pipeline_mesh=None,
                     num_microbatches=None, zero_shards=None, grad_accum=1,
-                    accum_mesh=None):
+                    accum_mesh=None, grad_clip=None):
     """``bf16``: mixed-precision training — the forward/backward compute
     runs in bfloat16 (MXU-native) while master weights, gradients, Adam
     moments, and the loss stay float32.  BMU tokenization always runs in
@@ -139,6 +139,13 @@ def make_train_step(model, optimizer, lr_codebook, hr_codebook,
     step (equal-size chunks make mean-of-chunk-means == full mean).
     ``accum_mesh`` keeps each chunk's batch axis sharded over ``data``
     through the reshape.  Opt-in (``--grad-accum``).
+
+    ``grad_clip``: clip the gradient's GLOBAL norm to this value before the
+    Adam update.  Opt-in (``--grad-clip``) and beyond-reference: the
+    reference's only stability mechanism is raising on NaN loss
+    (``train_quantized_transformer.py:503-504``); clipping prevents the
+    late-training CE spikes observed on the final cascade stage (QUALITY.md
+    run notes) instead of merely detecting their aftermath.
     """
     def step(params, opt_state, cb_params, batch, rng):
         lr_params, hr_params = cb_params
@@ -201,6 +208,10 @@ def make_train_step(model, optimizer, lr_codebook, hr_codebook,
                 body, (jnp.zeros(()), zeros), xs)
             loss = loss_sum / a
             grads = jax.tree_util.tree_map(lambda g: g / a, grad_sum)
+        if grad_clip is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         if zero_shards is not None:
             z_mesh, z_param_spec, z_moment_spec = zero_shards
 
@@ -416,6 +427,14 @@ def run(args):
             raise ValueError(
                 f"--ema-decay must be in [0, 1), got {ema_decay}")
 
+    # --grad-clip: global-norm gradient clipping (beyond-reference
+    # stability; see make_train_step).
+    grad_clip = args.get("grad_clip")
+    if grad_clip is not None:
+        grad_clip = float(grad_clip)
+        if not grad_clip > 0.0:
+            raise ValueError(f"--grad-clip must be > 0, got {grad_clip}")
+
     # --auto-resume: continue from the newest checkpoint in out_dir
     # (model + optimizer + EMA + step counter).  Explicit --model-path wins.
     resume_steps = None
@@ -520,7 +539,8 @@ def run(args):
         zero_shards=((mesh, param_spec, moment_spec)
                      if moment_spec is not None else None),
         grad_accum=grad_accum,
-        accum_mesh=mesh if grad_accum > 1 else None)
+        accum_mesh=mesh if grad_accum > 1 else None,
+        grad_clip=grad_clip)
     engine = DecodeEngine(model)
 
     ema_step = None
@@ -581,6 +601,8 @@ def run(args):
     log.info(f"Model Checkpoint step: {checkpoint_step:,}")
     if ema_decay is not None:
         log.info(f"EMA decay: {ema_decay}")
+    if grad_clip is not None:
+        log.info(f"Gradient clip (global norm): {grad_clip}")
     log.info("#" * 100)
 
     rng = jax.random.PRNGKey(args.get("seed", 0))

@@ -50,8 +50,15 @@ def main():
     # the base stage maps the two COARSEST codebooks (insertion order in
     # the report matches quality_run's training order)
     cb_keys = [k for k in report["stages"] if k.startswith("codebook_")]
-    cb0 = report["stages"][cb_keys[0]]["checkpoint"]
-    cb1 = report["stages"][cb_keys[1]]["checkpoint"]
+
+    def cb_path(key):
+        """The codebook the ledger's transformers actually consumed: the
+        pruned one when the run included the prune stage."""
+        st = report["stages"][key]
+        return (st.get("prune") or {}).get("checkpoint", st["checkpoint"])
+
+    cb0 = cb_path(cb_keys[0])
+    cb1 = cb_path(cb_keys[1])
     cfg = q / "tf_base.json"  # same config the ledger's base stage used
 
     out = {"steps": args.steps, "batch": args.batch, "seed": args.seed}

@@ -119,6 +119,52 @@ class QualityEval:
         return round(float(np.average(vals, weights=w)), 3)
 
 
+def ce_max_last_half(out_dir, max_steps):
+    """Max per-step CE over the second half of training, from the FULL
+    metrics stream (the downsampled curve can miss a one-step spike — the
+    round-4 casc2 instability was exactly that)."""
+    path = pathlib.Path(out_dir) / "metrics.jsonl"
+    if not path.exists():
+        return None
+    worst = None
+    for line in path.read_text().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "ce_loss" in rec and rec.get("step", 0) >= max_steps // 2:
+            v = float(rec["ce_loss"])
+            worst = v if worst is None else max(worst, v)
+    return round(worst, 4) if worst is not None else None
+
+
+def preview_psnr(stage_dir):
+    """Per-checkpoint PSNR between the trainer's AR preview grid and its
+    ground-truth grid (the visual-verification pair the train loop writes,
+    reference ``train_quantized_transformer.py:663-673``) — the cascade's
+    end-to-end generative fidelity as a number a future run can regress
+    against.  Both grids are JPEGs, so the absolute value carries a small
+    consistent compression bias; the per-checkpoint TREND is the signal."""
+    from PIL import Image
+    img_dir = pathlib.Path(stage_dir) / "images"
+    out = []
+    for recon in sorted(img_dir.glob("high_res_recon_*.jpg"),
+                        key=lambda p: int(p.stem.split("_")[-1])):
+        step = int(recon.stem.split("_")[-1])
+        gt = img_dir / f"ground_truth_{step}.jpg"
+        if not gt.exists():
+            continue
+        a = np.asarray(Image.open(recon), np.float32)
+        b = np.asarray(Image.open(gt), np.float32)
+        if a.shape != b.shape:
+            continue
+        mse = float(np.mean((a - b) ** 2))
+        out.append({"step": step,
+                    "psnr_db": round(10 * np.log10(255.0 ** 2 / mse), 3)
+                    if mse > 0 else float("inf")})
+    return out
+
+
 def checkpoints(out_dir, prefix="model"):
     d = pathlib.Path(out_dir) / "models_checkpoint"
     return sorted(d.glob(f"{prefix}_*.pt"),
@@ -159,12 +205,31 @@ def main():
                         default="auto")
     parser.add_argument("--ae-steps", type=int, default=3000)
     parser.add_argument("--ae-batch", type=int, default=16)
-    parser.add_argument("--cb-steps", type=int, default=2600)
+    # 2x the neighbourhood anneal (fully annealed at (K//2)*nstep = 2560
+    # steps): the round-4 run cut training at 2600 with quantized-PSNR
+    # trajectories still rising; the post-anneal half runs winner-take-all
+    # SOM refinement at range 0 (codebook steps are cheap, ~9k samples/s).
+    parser.add_argument("--cb-steps", type=int, default=5200)
     parser.add_argument("--cb-batch", type=int, default=64)
     parser.add_argument("--tf-steps", type=int, default=2000)
     parser.add_argument("--tf-batch", type=int, default=32)
     parser.add_argument("--ckpt-every", type=int, default=500)
     parser.add_argument("--gen-images", type=int, default=25)
+    parser.add_argument("--no-prune", action="store_true",
+                        help="skip the prune_codebook stage (reference "
+                             "workflow trains codebooks, prunes underused "
+                             "codes, then trains transformers on the pruned "
+                             "codebooks — README.md:150-175)")
+    parser.add_argument("--no-k-exp", action="store_true",
+                        help="skip the larger-K side experiment on the "
+                             "finest codebook (measures whether the "
+                             "quantization-PSNR ceiling is K-bound)")
+    parser.add_argument("--final-stage-ema", type=float, default=0.999,
+                        help="--ema-decay for the LAST cascade stage (the "
+                             "round-4 run's CE-spike stage); 0 disables")
+    parser.add_argument("--final-stage-grad-clip", type=float, default=1.0,
+                        help="--grad-clip for the LAST cascade stage; "
+                             "0 disables")
     parser.add_argument("--bf16-transformers", action="store_true",
                         help="train the transformer stages in bf16 "
                              "(mixed precision; AE/codebooks stay fp32)")
@@ -334,6 +399,75 @@ def main():
             "psnr_trajectory": cb_traj[name],
             "checkpoint": str(cb_ckpts[name])}
 
+        # -- stage 4: prune_codebook (reference README.md:150-175 workflow:
+        # train codebook -> prune underused codes -> transformers consume
+        # the pruned codebook).  The reference's example threshold (1000)
+        # targets its full dataset; scale it to this run's token count so
+        # "underused" means the same thing: < 1/8 of uniform usage.
+        if not args.no_prune:
+            from qaig_tpu.train import prune as prune_stage
+            tokens_total = args.num_images * (hw // patch) ** 2
+            threshold = max(1, tokens_total // (8 * K))
+            prune_out = out / f"prune_{name}"
+            new_cb, new_cb_params = prune_stage.run(stage_args({
+                "dataset_path": fmap_manifest,
+                "codebook_path": cb_ckpts[name],
+                "out_dir": prune_out, "batch_size": args.cb_batch,
+                "prune_threshold": threshold}))
+            pruned_ckpt = (prune_out / "models_checkpoint"
+                           / "pruned_codebook.pt")
+            psnr_before = cb_traj[name][-1]["psnr_quantized_db"]
+            psnr_after = evaluator.psnr_quantized(
+                ae, ae_params, new_cb, new_cb_params)
+            report["stages"][f"codebook_{name}"]["prune"] = {
+                "threshold": threshold,
+                "kept": new_cb.num_embeddings, "of": K,
+                "psnr_quantized_db_before": psnr_before,
+                "psnr_quantized_db_after": psnr_after,
+                "checkpoint": str(pruned_ckpt)}
+            note(f"prune {name}: kept {new_cb.num_embeddings}/{K} "
+                 f"(threshold {threshold}); quantized PSNR "
+                 f"{psnr_before} -> {psnr_after} dB")
+            cb_ckpts[name] = pruned_ckpt  # downstream consumes pruned
+
+    # -- side experiment: is the quantization ceiling K-bound?  Train the
+    # finest patch size again at 2x the embeddings (not consumed downstream
+    # — the main pipeline keeps the reference-README K so its numbers stay
+    # comparable across rounds).
+    if not args.no_k_exp:
+        exp_name, exp_patch = scale["cbs"][-1]
+        exp_K = 2 * K
+        cfg = out / f"cb_{exp_name}_k{exp_K}.json"
+        cfg.write_text(json.dumps({
+            "model_lr": 1e-3, "image_H": hw, "image_W": hw,
+            "image_C": scale["ae"]["latent_channel"],
+            "patch_H": exp_patch, "patch_W": exp_patch,
+            "num_embeddings": exp_K,
+            "neighbourhood_step": scale["nstep"]}))
+        exp_out = out / f"cb_{exp_name}_k{exp_K}"
+        cb_stage.run(stage_args({
+            "dataset_path": fmap_manifest, "decoder_path": ae_ckpt,
+            "config_path": cfg, "out_dir": exp_out,
+            "batch_size": args.cb_batch, "checkpoint_step": args.ckpt_every,
+            "lr_step": 10 * args.cb_steps, "max_epoch": 10 ** 9,
+            "max_steps": args.cb_steps}))
+        exp_traj = []
+        for ck in checkpoints(exp_out, prefix="codebook"):
+            _, cb_ck = load_model(str(ck))
+            cb, cb_params = common.codebook_from_checkpoint(cb_ck)
+            exp_traj.append({
+                "step": int(ck.stem.split("_")[-1]),
+                "psnr_quantized_db": evaluator.psnr_quantized(
+                    ae, ae_params, cb, cb_params)})
+        report.setdefault("experiments", {})[
+            f"codebook_{exp_name}_k{exp_K}"] = {
+            "patch": exp_patch, "num_embeddings": exp_K,
+            "steps": args.cb_steps, "psnr_trajectory": exp_traj,
+            "baseline_k": K,
+            "baseline_psnr": cb_traj[exp_name][-1]["psnr_quantized_db"]}
+        note(f"K-experiment {exp_name} @ K={exp_K}: " + " -> ".join(
+            str(p["psnr_quantized_db"]) for p in exp_traj))
+
     # -- stage 5: transformers ---------------------------------------------------
     from qaig_tpu.train import transformer as tf_stage
     tf = scale["tf"]
@@ -370,7 +504,7 @@ def main():
     for name, is_base, lr_cb, hr_cb, cfg_dict in tf_specs:
         cfg = out / f"tf_{name}.json"
         tf_out = out / f"tf_{name}"
-        tf_stage.run(stage_args({
+        run_args = stage_args({
             "dataset_path": fmap_manifest, "train_base_model": is_base,
             "decoder_path": ae_ckpt, "lr_codebook_path": cb_ckpts[lr_cb],
             "hr_codebook_path": cb_ckpts[hr_cb], "config_path": cfg,
@@ -379,7 +513,20 @@ def main():
             "lr_step": 10 * args.tf_steps, "max_epoch": 10 ** 9,
             "max_steps": args.tf_steps, "temperature": 1.0,
             "bf16": args.bf16_transformers,
-            "use_activation_checkpoint": True}))
+            "use_activation_checkpoint": True})
+        # the final cascade stage is the run's fragile one (round-4: CE
+        # spiked 0.02 -> 13.9 at ~step 1985 under the reference recipe);
+        # protect it with the framework's stability tools instead of
+        # checkpoint-cadence luck.
+        stability = {}
+        if name == tf_specs[-1][0]:
+            if args.final_stage_ema > 0:
+                run_args["ema_decay"] = args.final_stage_ema
+                stability["ema_decay"] = args.final_stage_ema
+            if args.final_stage_grad_clip > 0:
+                run_args["grad_clip"] = args.final_stage_grad_clip
+                stability["grad_clip"] = args.final_stage_grad_clip
+        tf_stage.run(run_args)
         tf_ckpts[name] = checkpoints(tf_out)[-1]
         curve = loss_curve(tf_out, "ce_loss", every=args.ckpt_every // 2)
         note(f"transformer {name}: CE " + (
@@ -387,7 +534,10 @@ def main():
         report["stages"][f"transformer_{name}"] = {
             "steps": args.tf_steps, "batch": args.tf_batch,
             "precision": "bf16" if args.bf16_transformers else "fp32",
-            "loss_curve": curve, "checkpoint": str(tf_ckpts[name])}
+            "loss_curve": curve, "checkpoint": str(tf_ckpts[name]),
+            "stability": stability or None,
+            "ce_max_last_half": ce_max_last_half(tf_out, args.tf_steps),
+            "preview_psnr": preview_psnr(tf_out)}
 
     # -- stage 6: generation -------------------------------------------------------
     from qaig_tpu.infer import generate as gen_stage

@@ -593,3 +593,45 @@ def test_ema_decay_validation(tmp_path):
             "hr_codebook_path": fx["cb_b"], "config_path": fx["cfg"],
             "out_dir": tmp_path / "out", "batch_size": 4,
             "max_steps": 1, "skip_preview": True, "ema_decay": 1.5})
+
+
+def test_grad_clip_training(tmp_path):
+    """--grad-clip: an inactive threshold (huge) reproduces the unclipped
+    run (up to XLA refusion noise from the extra scale op); an active
+    threshold (tiny) changes the trajectory and still trains to a finite
+    loss; <= 0 fails fast."""
+    import pytest
+    from qaig_tpu.train import transformer
+    from qaig_tpu.utils import load_model
+
+    fx = _transformer_fixtures(tmp_path)
+    base_args = {
+        "dataset_path": fx["manifest"], "train_base_model": True,
+        "decoder_path": fx["ae"], "lr_codebook_path": fx["cb_a"],
+        "hr_codebook_path": fx["cb_b"], "config_path": fx["cfg"],
+        "batch_size": 4, "checkpoint_step": 2, "lr_step": 100,
+        "max_epoch": 2, "max_steps": 3, "skip_preview": True}
+
+    def weights(out):
+        status, ckpt = load_model(out / "models_checkpoint" / "model_2.pt",
+                                  logging=lambda m: None)
+        assert status
+        return ckpt["model"]
+
+    transformer.run(dict(base_args, out_dir=tmp_path / "noclip"))
+    transformer.run(dict(base_args, out_dir=tmp_path / "clip_huge",
+                         grad_clip=1e9))
+    transformer.run(dict(base_args, out_dir=tmp_path / "clip_tiny",
+                         grad_clip=1e-3))
+
+    ref = weights(tmp_path / "noclip")
+    huge = weights(tmp_path / "clip_huge")
+    tiny = weights(tmp_path / "clip_tiny")
+    for k in ref:  # way above any real gradient norm: clip is a no-op
+        np.testing.assert_allclose(ref[k], huge[k], rtol=1e-4, atol=1e-6)
+    assert any(np.abs(ref[k] - tiny[k]).max() > 1e-3 for k in ref)
+    assert all(np.isfinite(tiny[k]).all() for k in tiny)
+
+    with pytest.raises(ValueError, match="grad-clip"):
+        transformer.run(dict(base_args, out_dir=tmp_path / "bad",
+                             grad_clip=0.0))
