@@ -225,9 +225,15 @@ def main():
                         help="images per chip per iteration")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--scale", choices=["full", "smoke"], default="full")
-    parser.add_argument("--breakdown", action="store_true",
+    parser.add_argument("--breakdown", dest="breakdown",
+                        action="store_true", default=True,
                         help="also time each cascade stage separately "
-                             "(extra compiles; adds a 'stages' JSON field)")
+                             "(extra compiles; fills the 'stages' JSON "
+                             "field — ON by default so the driver-captured "
+                             "BENCH_r*.json can attribute regressions)")
+    parser.add_argument("--no-breakdown", dest="breakdown",
+                        action="store_false",
+                        help="skip the per-stage timing programs")
     parser.add_argument("--no-beams", action="store_true",
                         help="single-path temperature sampling (no rollout "
                              "beam search)")

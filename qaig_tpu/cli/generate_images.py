@@ -27,6 +27,15 @@ def main():
     parser.add_argument("--profile-dir", default=None, type=pathlib.Path,
                         help="Capture a jax.profiler trace of the cascade "
                              "generation here.")
+    fused = parser.add_mutually_exclusive_group()
+    fused.add_argument("--fused", dest="fused", action="store_true",
+                       default=None,
+                       help="Force the fused single-dispatch cascade (one "
+                            "device program for all stages + decode; the "
+                            "batch-1 interactive-latency path, default "
+                            "whenever generation is unsharded).")
+    fused.add_argument("--no-fused", dest="fused", action="store_false",
+                       help="Force the per-segment dispatched loop.")
     parser.add_argument("--num-model-shards", type=int, default=1,
                         help="Tensor-parallel shards for each stage "
                              "transformer's weights (Megatron MLP "

@@ -120,6 +120,102 @@ def generate_stage_tokens(model, params, stage_cfg, num_images, rng,
     return tokens - shift
 
 
+def _load_stage(index, stage_cfg, cast, use_ema=False):
+    """Load one cascade stage's codebooks + transformer from disk into a
+    dict of everything both generation paths need."""
+    lr_codebook = None
+    lr_params = None
+    lr_num_embeddings = 0
+    if stage_cfg.get("lr_codebook_path") is not None:
+        status, lr_ckpt = load_model(stage_cfg["lr_codebook_path"])
+        if not status:
+            raise RuntimeError(
+                "An error occured while loading codebook checkpoint!")
+        lr_codebook, lr_params = common.codebook_from_checkpoint(lr_ckpt)
+        lr_params = cast(lr_params)
+        lr_num_embeddings = lr_codebook.num_embeddings
+
+    status, hr_ckpt = load_model(stage_cfg["hr_codebook_path"])
+    if not status:
+        raise RuntimeError(
+            "An error occured while loading codebook checkpoint!")
+    hr_codebook, hr_params = common.codebook_from_checkpoint(hr_ckpt)
+    hr_params = cast(hr_params)
+    total_seq = hr_codebook.seq_len
+
+    if total_seq % stage_cfg["beam_width"] != 0:
+        raise ValueError("Invalid value for beam_width!")
+
+    status, model_ckpt = load_model(stage_cfg["model_path"])
+    if not status:
+        raise RuntimeError(
+            "An error occured while loading model checkpoint!")
+    model, params, model_ckpt = transformer_from_checkpoint(
+        model_ckpt, use_ema=use_ema)
+    return {
+        "index": index, "stage_cfg": stage_cfg, "model": model,
+        "params": cast(params), "lr_codebook": lr_codebook,
+        "lr_params": lr_params, "lr_num_embeddings": lr_num_embeddings,
+        "hr_codebook": hr_codebook, "hr_params": hr_params,
+        "hr_num_embeddings": hr_codebook.num_embeddings,
+        "total_seq": total_seq,
+        "sliding_window": (model_ckpt["sliding_window"]
+                           if model_ckpt["use_sliding_window"] else None),
+        "is_base": index == "0"}
+
+
+def _run_fused(stages, decoder, dec_params, num_images, rng):
+    """The whole cascade — every stage's rollout, the stage-0 conditioning
+    recon, and every stage's pixel decode — as ONE jitted program: a solo
+    interactive request costs one device dispatch instead of hundreds of
+    sequential per-segment programs (measured 0.18 s vs 0.42 s solo on
+    v5e, scripts/probe_latency.py).  Token-identical to the dispatched
+    loop: same RNG split order, same per-segment programs traced inline
+    (tests/test_generation_parity.py)."""
+    def cascade(stage_params, lr0_params, hr_params_list, dparams, key):
+        cond = None
+        prev_tokens = None
+        recons = []
+        for st, params, hrp in zip(stages, stage_params, hr_params_list):
+            settings = SamplerSettings(
+                temperature=st["stage_cfg"]["temperature"],
+                end_token=st["hr_num_embeddings"],
+                end_mode="mask",
+                index_shift=(st["lr_num_embeddings"] if st["is_base"]
+                             else 0),
+                pos_offset=1)
+            if st["is_base"]:
+                key, init_rng = jax.random.split(key)
+                init_tokens = jax.random.randint(
+                    init_rng, (num_images, st["lr_codebook"].seq_len), 0,
+                    st["lr_num_embeddings"])
+                x_enc = None
+                lr_quant = st["lr_codebook"].get_quantized_image(
+                    lr0_params, init_tokens)
+                cond = decoder.apply(dparams, lr_quant).astype(jnp.float32)
+            else:
+                x_enc = prev_tokens
+                init_tokens = jnp.full(
+                    (num_images, 1), st["hr_num_embeddings"], jnp.int32)
+            key, gen_rng = jax.random.split(key)
+            engine = DecodeEngine(st["model"])
+            tokens = engine.rollout_generate(
+                params, init_tokens, st["total_seq"], gen_rng, settings,
+                num_beam=st["stage_cfg"]["num_beam"],
+                beam_width=st["stage_cfg"]["beam_width"],
+                x_enc=x_enc, sliding_window=st["sliding_window"])
+            tokens = tokens - settings.index_shift
+            hr_quant = st["hr_codebook"].get_quantized_image(hrp, tokens)
+            recons.append(decoder.apply(dparams, hr_quant)
+                          .astype(jnp.float32))
+            prev_tokens = tokens
+        return cond, recons, prev_tokens
+
+    fn = jax.jit(cascade)
+    return fn([st["params"] for st in stages], stages[0]["lr_params"],
+              [st["hr_params"] for st in stages], dec_params, rng)
+
+
 def run(args):
     common.select_platform(args.get("device"),
                            args.get("compiler_options"))
@@ -152,6 +248,40 @@ def run(args):
     decode_image = jax.jit(
         lambda p, q: decoder.apply(p, q).astype(jnp.float32))
 
+    # Fused single-dispatch cascade (the interactive-latency path): default
+    # whenever generation is unsharded; --no-fused forces the per-segment
+    # dispatched loop, --fused asserts the fused path is applicable.
+    fused = args.get("fused")
+    unsharded = (mesh.shape["data"] == 1 and mesh.shape["model"] == 1
+                 and jax.process_count() == 1)
+    if fused is None:
+        fused = unsharded
+    elif fused and not unsharded:
+        raise ValueError(
+            "--fused requires unsharded generation (one device's mesh, "
+            "single process); drop --num-model-shards or use --no-fused.")
+    if fused:
+        stages = [_load_stage(index, stage_cfg, cast,
+                              use_ema=bool(args.get("use_ema")))
+                  for index, stage_cfg in config_dict.items()]
+        print(f"Fused single-dispatch cascade: {len(stages)} stages")
+        if profiler.dir:
+            jax.profiler.start_trace(str(profiler.dir))
+            profiler.active = True
+        cond, recons, tokens = _run_fused(
+            stages, decoder, dec_params, num_images, rng)
+        if stages[0]["is_base"] and common.is_main_process():
+            save_images(np.asarray(cond), "recon_model_Cond", out_dir,
+                        logging=print)
+        for st, recon in zip(stages, recons):
+            print(f"Model: {int(st['index']):,}")
+            if common.is_main_process():
+                save_images(np.asarray(recon),
+                            f"recon_model_{st['index']}", out_dir,
+                            logging=print)
+        profiler.close()
+        return tokens
+
     prev_tokens = None
     if profiler.dir:
         jax.profiler.start_trace(str(profiler.dir))
@@ -159,39 +289,14 @@ def run(args):
     for index, stage_cfg in config_dict.items():
         print(f"Model: {int(index):,}")
 
-        lr_codebook = None
-        lr_params = None
-        lr_num_embeddings = 0
-        if stage_cfg.get("lr_codebook_path") is not None:
-            status, lr_ckpt = load_model(stage_cfg["lr_codebook_path"])
-            if not status:
-                raise RuntimeError(
-                    "An error occured while loading codebook checkpoint!")
-            lr_codebook, lr_params = common.codebook_from_checkpoint(lr_ckpt)
-            lr_params = cast(lr_params)
-            lr_num_embeddings = lr_codebook.num_embeddings
-
-        status, hr_ckpt = load_model(stage_cfg["hr_codebook_path"])
-        if not status:
-            raise RuntimeError(
-                "An error occured while loading codebook checkpoint!")
-        hr_codebook, hr_params = common.codebook_from_checkpoint(hr_ckpt)
-        hr_params = cast(hr_params)
-        hr_num_embeddings = hr_codebook.num_embeddings
-        total_seq = hr_codebook.seq_len
-
-        if total_seq % stage_cfg["beam_width"] != 0:
-            raise ValueError("Invalid value for beam_width!")
-
-        status, model_ckpt = load_model(stage_cfg["model_path"])
-        if not status:
-            raise RuntimeError(
-                "An error occured while loading model checkpoint!")
-        model, params, model_ckpt = transformer_from_checkpoint(
-            model_ckpt, use_ema=bool(args.get("use_ema")))
-        params = cast(params)
-        sliding_window = (model_ckpt["sliding_window"]
-                          if model_ckpt["use_sliding_window"] else None)
+        st = _load_stage(index, stage_cfg, cast,
+                         use_ema=bool(args.get("use_ema")))
+        model, params = st["model"], st["params"]
+        lr_codebook, lr_params = st["lr_codebook"], st["lr_params"]
+        lr_num_embeddings = st["lr_num_embeddings"]
+        hr_codebook, hr_params = st["hr_codebook"], st["hr_params"]
+        hr_num_embeddings = st["hr_num_embeddings"]
+        total_seq, sliding_window = st["total_seq"], st["sliding_window"]
 
         is_base_stage = index == "0"
         if is_base_stage:
