@@ -34,6 +34,12 @@ def main():
     args = parser.parse_args()
 
     report = json.loads(args.report.read_text())
+    if report.get("stopped_after"):
+        raise SystemExit(
+            f"quality.json is a partial run (--stop-after "
+            f"{report['stopped_after']}): generation/transformer sections "
+            "are absent, nothing to render.  Finish the run (re-run "
+            "scripts/quality_run.py without --stop-after) first.")
     stages = report["stages"]
     run_dir = args.report.parent
     args.grids_dir.mkdir(parents=True, exist_ok=True)
@@ -93,26 +99,156 @@ def main():
         "stage-1 number above.")
     out("")
     cb_names = [k for k in stages if k.startswith("codebook_")]
-    out("| codebook (patch) | PSNR trajectory (dB) |")
-    out("|---|---|")
+    pruned = any(stages[n].get("prune") for n in cb_names)
+    if pruned:
+        out("| codebook (patch) | PSNR trajectory (dB) "
+            "| pruned (kept/K, threshold) | PSNR after prune |")
+        out("|---|---|---|---|")
+    else:
+        out("| codebook (patch) | PSNR trajectory (dB) |")
+        out("|---|---|")
     for name in cb_names:
         st = stages[name]
         traj = " → ".join(str(p["psnr_quantized_db"])
                           for p in st["psnr_trajectory"])
-        out(f"| {name.split('_')[1]} ({st['patch']}×{st['patch']}) "
-            f"| {traj} |")
+        row = (f"| {name.split('_')[1]} ({st['patch']}×{st['patch']}) "
+               f"| {traj} |")
+        if pruned:
+            pr = st.get("prune")
+            if pr:
+                row += (f" {pr['kept']}/{pr['of']} (≥{pr['threshold']}) "
+                        f"| {pr['psnr_quantized_db_after']} |")
+            else:
+                row += " — | — |"
+        out(row)
     out("")
+    if pruned:
+        out("Stage 4 (`prune_codebook`, the reference README workflow: "
+            "train → prune underused codes → transformers consume the "
+            "pruned codebook) runs on every codebook; the threshold is "
+            "the reference's \"underused\" bar scaled to this run's token "
+            "count (< 1/8 of uniform usage).  Downstream transformer and "
+            "generation stages consume the PRUNED codebooks.")
+        out("")
+
+    for name, exp in (report.get("experiments") or {}).items():
+        traj = " → ".join(str(p["psnr_quantized_db"])
+                          for p in exp["psnr_trajectory"])
+        final = exp["psnr_trajectory"][-1]["psnr_quantized_db"]
+        delta = round(final - exp["baseline_psnr"], 2)
+        out(f"**Side experiment — {name}**: the finest patch size "
+            f"retrained at K={exp['num_embeddings']} "
+            f"(2× the reference's {exp['baseline_k']}): "
+            f"quantized PSNR {traj} dB vs the K={exp['baseline_k']} "
+            f"baseline's {exp['baseline_psnr']} dB "
+            f"({delta:+.2f} dB).  Not consumed by the pipeline (the main "
+            "run keeps reference-README shapes for cross-round "
+            "comparability); this measures how K-bound the quantization "
+            "ceiling is.")
+        out("")
 
     out("## Stage 5 — transformers (cross-entropy curves)")
     out("")
     tf_names = [k for k in stages if k.startswith("transformer_")]
-    out("| stage | precision | CE curve (downsampled) |")
-    out("|---|---|---|")
+    out("| stage | precision | stability | CE curve (downsampled) "
+        "| max CE, 2nd half |")
+    out("|---|---|---|---|---|")
     for name in tf_names:
         st = stages[name]
-        out(f"| {name.split('_', 1)[1]} | {st['precision']} "
-            f"| {fmt_curve(st['loss_curve'], every=2)} |")
+        stab = st.get("stability") or {}
+        stab_s = ", ".join(f"{k.replace('_', '-')}={v}"
+                           for k, v in stab.items()) or "reference recipe"
+        mx = st.get("ce_max_last_half")
+        out(f"| {name.split('_', 1)[1]} | {st['precision']} | {stab_s} "
+            f"| {fmt_curve(st['loss_curve'], every=2)} "
+            f"| {mx if mx is not None else '—'} |")
     out("")
+    out("\"Max CE, 2nd half\" is the worst PER-STEP loss over the second "
+        "half of training, read from the full metrics stream — the "
+        "spike detector (the round-4 run's final cascade stage spiked "
+        "0.02 → 13.9 under the reference recipe; it now trains under "
+        "EMA + gradient clipping, the framework's beyond-reference "
+        "stability tools).")
+    out("")
+
+    if any(stages[n].get("preview_psnr") for n in tf_names):
+        out("### Generative fidelity: AR-preview vs ground truth (PSNR)")
+        out("")
+        out("Per-checkpoint PSNR between each stage's autoregressive "
+            "preview grid and its ground-truth grid (the train-loop "
+            "visual-verification pair) — end-to-end generative fidelity "
+            "as a number future rounds can regress against.  Both grids "
+            "are JPEGs, so absolute values carry a small consistent "
+            "compression bias; the trend is the signal.")
+        out("")
+        out("| stage | preview PSNR by checkpoint (dB) |")
+        out("|---|---|")
+        for name in tf_names:
+            pp = stages[name].get("preview_psnr") or []
+            traj = " → ".join(f"{p['psnr_db']}@{p['step']}" for p in pp)
+            out(f"| {name.split('_', 1)[1]} | {traj or '—'} |")
+        out("")
+
+    ab_path = run_dir / "bf16_ab.json"
+    if ab_path.exists():
+        ab = json.loads(ab_path.read_text())
+        out("### bf16 mixed-precision A/B (the flagship training "
+            "precision learns the same)")
+        out("")
+        out(f"The base transformer retrained twice from the same seed on "
+            f"this run's feature maps + pruned codebooks "
+            f"({ab['steps']} steps @ batch {ab['batch']}, "
+            "`scripts/quality_bf16_ab.py`):")
+        out("")
+        out("| precision | final CE | CE curve | wall (s) |")
+        out("|---|---|---|---|")
+        for tag in ("fp32", "bf16"):
+            r = ab[tag]
+            out(f"| {tag} | {r['final_ce']:.4f} "
+                f"| {fmt_curve(r['ce_curve'], every=2)} | {r['wall_s']} |")
+        out("")
+        out(f"final CE delta (bf16 − fp32): **{ab.get('final_ce_delta')}** "
+            "— the +57% step-throughput precision "
+            "(docs/PERFORMANCE.md) trains to the same quality.")
+        out("")
+
+    sweep_path = run_dir / "sweep.json"
+    if sweep_path.exists():
+        sweep = json.loads(sweep_path.read_text())
+        out("### Sampling knobs: diversity/fidelity sweep")
+        out("")
+        out(f"{sweep['num_images']} images per setting from the SAME "
+            "trained checkpoints (`scripts/sampling_sweep.py`), "
+            "quantifying each grid's diversity from its final token "
+            "sequences: `unique` = fraction of distinct sequences, "
+            "`pairwise` = mean fraction of differing token positions "
+            "over all pairs (0 = every sample identical).")
+        out("")
+        out("| setting | num_beam | temperature | unique | pairwise |")
+        out("|---|---|---|---|---|")
+        sweep_grids = {}
+        for name, rec in sweep["settings"].items():
+            beams = "/".join(str(v) for v in rec["num_beam"].values())
+            temps = "/".join(f"{v:g}" for v in rec["temperatures"].values())
+            out(f"| {name} | {beams} | {temps} | {rec['unique_frac']} "
+                f"| {rec['pairwise_hamming']} |")
+            src = pathlib.Path(rec["grid"])
+            if src.exists():
+                dst = args.grids_dir / f"sweep_{name}.jpg"
+                shutil.copyfile(src, dst)
+                sweep_grids[name] = dst.as_posix()
+        out("")
+        for name, p in sweep_grids.items():
+            out(f"![sweep_{name}]({p})")
+            out("")
+            out(f"*{name} — per-stage num_beam "
+                + "/".join(str(v) for v in
+                           sweep['settings'][name]['num_beam'].values())
+                + ", temperature "
+                + "/".join(f"{v:g}" for v in
+                           sweep['settings'][name]['temperatures'].values())
+                + "*")
+            out("")
 
     gen = stages["generation"]
     out("## Stage 6 — generation")
