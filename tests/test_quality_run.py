@@ -51,11 +51,60 @@ def test_quality_run_smoke(tmp_path):
         if key.startswith("transformer_"):
             assert len(st["loss_curve"]) >= 2
 
+    # stage 4 (prune) ran on every codebook; downstream consumed the
+    # pruned checkpoints; the before/after PSNR pair is recorded
+    for key, st in stages.items():
+        if key.startswith("codebook_"):
+            pr = st["prune"]
+            assert 1 <= pr["kept"] <= pr["of"]
+            assert pathlib.Path(pr["checkpoint"]).exists()
+            assert isinstance(pr["psnr_quantized_db_after"], float)
+
+    # the larger-K side experiment reported a trajectory
+    exp = next(iter(report["experiments"].values()))
+    assert len(exp["psnr_trajectory"]) >= 2
+    assert exp["num_embeddings"] == 2 * exp["baseline_k"]
+
+    # the final cascade stage trained under the stability tools and the
+    # spike detector + preview-PSNR columns landed
+    last_tf = [k for k in stages if k.startswith("transformer_casc")][-1]
+    assert stages[last_tf]["stability"]["ema_decay"] > 0
+    assert stages[last_tf]["stability"]["grad_clip"] > 0
+    assert stages[last_tf]["ce_max_last_half"] is not None
+    assert isinstance(stages[last_tf]["preview_psnr"], list)
+
     # the final generation grid and collected artifacts exist
     assert pathlib.Path(stages["generation"]["grid"]).exists()
     grids = tmp_path / "grids"
     assert (grids / "generated_final.jpg").exists()
     assert (grids / "dataset_sample.png").exists()
+
+    # the sampling sweep + renderer consume the finished run
+    result = subprocess.run(
+        [sys.executable, "scripts/sampling_sweep.py",
+         "--qrun-dir", str(tmp_path), "--num-images", "4",
+         "--temperatures", "2.0", "--device", "cpu"],
+        capture_output=True, text=True, timeout=1800, cwd=str(REPO))
+    assert result.returncode == 0, (result.stdout[-2000:] +
+                                    result.stderr[-2000:])
+    sweep = json.loads((tmp_path / "sweep.json").read_text())
+    assert set(sweep["settings"]) == {"config", "single_path", "beams_t2"}
+    for rec in sweep["settings"].values():
+        assert 0 <= rec["unique_frac"] <= 1
+        assert pathlib.Path(rec["grid"]).exists()
+
+    result = subprocess.run(
+        [sys.executable, "scripts/render_quality.py",
+         "--report", str(tmp_path / "quality.json"),
+         "--doc", str(tmp_path / "Q.md"),
+         "--grids-dir", str(tmp_path / "docgrids")],
+        capture_output=True, text=True, timeout=300, cwd=str(REPO))
+    assert result.returncode == 0, (result.stdout[-2000:] +
+                                    result.stderr[-2000:])
+    doc = (tmp_path / "Q.md").read_text()
+    for must in ("prune", "Side experiment", "Sampling knobs",
+                 "max CE, 2nd half"):
+        assert must in doc, must
 
 
 def test_quality_run_stop_after_codebooks(tmp_path):
