@@ -134,6 +134,7 @@ def test_cli_subprocess_pipeline(tmp_path):
     assert (gen_out / "images" / "recon_model_Cond.jpg").exists()
 
 
+@pytest.mark.slow
 def test_bench_smoke_multichip_sharded(tmp_path):
     """bench.py --scale smoke on the 8-virtual-device CPU backend must
     exercise the multi-chip batch-sharding path (n_chips == 8) and emit

@@ -18,6 +18,7 @@ def _small_cfg(**kw):
 
 
 @pytest.mark.parametrize("use_encoder", [False, True])
+@pytest.mark.slow
 def test_cached_decode_matches_full_forward(rng, use_encoder):
     cfg = _small_cfg(use_encoder=use_encoder)
     model = Transformer(cfg)
@@ -52,6 +53,7 @@ def test_cached_decode_matches_full_forward(rng, use_encoder):
                                    err_msg=f"step {i}")
 
 
+@pytest.mark.slow
 def test_hybrid_sliding_decode_matches_reference_semantics(rng):
     """The hybrid engine (KV-cached until the first slide, then (W-1)-token
     window recompute) must produce the same trajectory as a literal
@@ -107,6 +109,7 @@ def test_hybrid_sliding_decode_matches_reference_semantics(rng):
 
 
 @pytest.mark.parametrize("use_pos", [False, True])
+@pytest.mark.slow
 def test_shared_prefix_rollout_matches_tiled(rng, use_pos):
     """The shared-prefix beam segment must reproduce the legacy
     tile-everything path exactly: same winning tokens, same final logits,
@@ -153,6 +156,7 @@ def test_shared_prefix_rollout_matches_tiled(rng, use_pos):
                                        np.asarray(want_c[key]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat(rng):
     """use_remat (the reference's activation checkpointing) must not change
     outputs or gradients."""
@@ -185,6 +189,7 @@ def test_remat_matches_no_remat(rng):
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_bucketed_cache_growth_preserves_state(rng, monkeypatch):
     """With a tiny first bucket, generation crosses several cache-growth
     boundaries; the final carry logits must equal the teacher-forcing
@@ -243,6 +248,7 @@ def test_window_forward_matches_apply(rng):
                                np.asarray(want[:, -1]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_base_mode_multitoken_sliding_decode_matches_oracle(rng):
     """Base-model + sliding-window decode with a multi-token LR conditioning
     grid (reference ``train_quantized_transformer.py:583-620`` base path):
@@ -296,6 +302,7 @@ def test_base_mode_multitoken_sliding_decode_matches_oracle(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_base_mode_multitoken_rollout_generate_runs(rng):
     """Rollout beam decode over a multi-token pos-cond conditioning grid
     (previously raised ValueError) produces valid HR-vocab tokens."""
@@ -323,6 +330,7 @@ def test_base_mode_multitoken_rollout_generate_runs(rng):
 
 @pytest.mark.parametrize("use_encoder,window", [(False, 8), (True, 8),
                                                 (True, 9)])
+@pytest.mark.slow
 def test_shared_windowed_rollout_matches_legacy(rng, monkeypatch,
                                                 use_encoder, window):
     """The shared windowed rollout path (window slots at N rows, only the
@@ -368,6 +376,7 @@ def test_shared_windowed_rollout_matches_legacy(rng, monkeypatch,
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_window_forward_shared_matches_window_forward(rng):
     """window_forward_shared == window_forward(concat window, last_only)
     per rollout, for every tail length."""
@@ -409,6 +418,7 @@ def test_window_forward_shared_matches_window_forward(rng):
                                    atol=2e-4, err_msg=f"tail length {t}")
 
 
+@pytest.mark.slow
 def test_int8_prefix_rollout_matches_exact_closely(rng):
     """quantized_prefix=True produces the same shapes/valid vocab and a
     trajectory that tracks the exact engine closely at greedy sampling
@@ -440,6 +450,7 @@ def test_int8_prefix_rollout_matches_exact_closely(rng):
     assert agreement >= 0.5, f"agreement {agreement}"
 
 
+@pytest.mark.slow
 def test_int8_prefix_with_sliding_window_crossing(rng):
     """quantized_prefix + sliding window: the crossing segment reads the
     int8 shared caches through the quantization-aware decode_step_shared
@@ -562,6 +573,7 @@ def test_flat_decode_engine_matches_xla_on_supported_shapes(rng):
     assert agreement >= 0.9, f"agreement {agreement}"
 
 
+@pytest.mark.slow
 def test_flat_decode_engine_int8_prefix_runs_off_chip(rng):
     """flat_decode + quantized_prefix: the in-kernel-dequant flat variant
     (interleaved int8 caches + per-column scales) executes via the Pallas

@@ -17,6 +17,8 @@ trajectory (identical rollouts, logp ties broken toward beam 0).
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # seeded oracle fuzz: slow tier by design
 import jax
 import jax.numpy as jnp
 

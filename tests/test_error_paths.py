@@ -40,6 +40,7 @@ def test_codebook_decrease_neighbourhood_invalid_steps():
         cb.decrease_neighbourhood(0)
 
 
+@pytest.mark.slow
 def test_generate_invalid_beam_width(tmp_path):
     """beam_width must divide the stage's token count
     (reference generate_images.py:165-168)."""

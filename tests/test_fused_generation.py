@@ -84,6 +84,7 @@ def _ckpts(tmp_path):
     return paths
 
 
+@pytest.mark.slow
 def test_fused_cli_tokens_match_dispatched(tmp_path, capsys):
     """num_images=1 makes the mesh trivial, so the CLI auto-selects the
     fused program; its tokens must equal the forced dispatched loop's, and

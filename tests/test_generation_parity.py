@@ -219,6 +219,7 @@ def _run_ours(paths, out_dir, monkeypatch):
     return recorded
 
 
+@pytest.mark.slow
 def test_cascade_generation_token_parity(tmp_path, monkeypatch):
     paths = _build_reference_checkpoints(tmp_path)
     ref_tokens = _run_reference(paths, tmp_path / "ref_out", monkeypatch)

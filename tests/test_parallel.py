@@ -4,6 +4,8 @@ DP and DP+TP runs of the transformer train step must match the
 single-device result (same math, different layout).
 """
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,6 +43,7 @@ def _setup(sliding_window=None):
     return step, params, opt_state, lr_params, hr_params
 
 
+@pytest.mark.slow
 def test_dp_tp_matches_single_device(rng):
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
     batch = 8
@@ -74,6 +77,7 @@ def test_dp_tp_matches_single_device(rng):
                                    err_msg=f"mesh {n_data}x{n_model}")
 
 
+@pytest.mark.slow
 def test_zero1_matches_single_device(rng):
     """ZeRO-1 (--zero-opt): Adam moments sharded over 'data' (composing
     with TP on the 4x2 mesh), grads reduce-scattered, params
@@ -140,6 +144,7 @@ def test_zero1_matches_single_device(rng):
                                    err_msg=f"mu mesh {n_data}x{n_model}")
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch(rng):
     """--grad-accum: N sequential chunks + one Adam update must reproduce
     the full-batch step (equal chunks make mean-of-means == full mean),
@@ -213,6 +218,7 @@ def test_grad_accum_matches_full_batch(rng):
         atol=1e-5, err_msg="windowed accum")
 
 
+@pytest.mark.slow
 def test_autoencoder_grad_accum_zero_matches(rng):
     """The AE stage's --grad-accum / --zero-opt combination must match the
     plain single-device step (same contracts as the transformer stage)."""
@@ -256,6 +262,7 @@ def test_autoencoder_grad_accum_zero_matches(rng):
                if hasattr(l.sharding, "spec"))
 
 
+@pytest.mark.slow
 def test_sliding_window_step_on_mesh(rng):
     """Windowed training step compiles and runs sharded."""
     step, params, opt_state, lr_params, hr_params = _setup(sliding_window=8)
@@ -330,6 +337,7 @@ def test_mesh_idle_device_warning(caplog):
     assert not caplog.records
 
 
+@pytest.mark.slow
 def test_tp_sharded_decode_matches_single_device(rng):
     """Tensor-parallel generation (data=4 x model=2: Megatron MLP sharding
     via transformer_param_spec, the --num-model-shards inference path) must

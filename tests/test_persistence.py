@@ -1,5 +1,6 @@
 """Manifests, checkpoint round-trips, tolerant restore, optimizer schedule."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -178,6 +179,7 @@ def test_fmap_dataset_with_images(tmp_path, rng):
     assert image.min() >= -1.0 and image.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_submodule_restore_from_autoencoder_checkpoint():
     """Loading the standalone FC decoder/encoder out of a composite
     autoencoder checkpoint must strip the ``fc_decoder./fc_encoder.``

@@ -40,6 +40,7 @@ def _inputs(rng, n=8, seq=12):
     return x_dec, x_enc, pos
 
 
+@pytest.mark.slow
 def test_pipelined_apply_matches_apply(rng):
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
     model, params = _cascade_model(num_dec_layers=4)
@@ -72,6 +73,7 @@ def test_pipelined_apply_base_model(rng):
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipelined_grads_match(rng):
     """value_and_grad through the pipeline == plain path, for the stacked
     stage-local layers AND the replicated embeddings/encoder/classifier
@@ -104,6 +106,7 @@ def test_pipelined_grads_match(rng):
             np.asarray(a), np.asarray(b), atol=1e-6), g0, g1)
 
 
+@pytest.mark.slow
 def test_pp_train_step_matches_single_device(rng):
     """Two full PP train steps (tokenize + window + fwd/bwd + Adam) must
     match the unpipelined single-device result."""
@@ -168,6 +171,7 @@ def test_pp_train_step_matches_single_device(rng):
                                ref_cls, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pp_tp_composed_train_step_matches_single_device(rng):
     """PP x TP on one data=2 x pipe=2 x model=2 mesh: decoder stacks
     'pipe'-sharded on the layer axis AND Megatron-'model'-sharded on their
@@ -335,6 +339,7 @@ def test_parallel_arg_validation():
                                         "num_microbatches": 0})
 
 
+@pytest.mark.slow
 def test_pp_train_step_bf16(rng):
     """Mixed precision composes with the pipeline: the bf16 PP step runs
     and lands near the bf16 single-device loss."""
@@ -389,6 +394,7 @@ def test_stack_unstack_roundtrip_params_and_opt_state():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_pp_resume_from_plain_checkpoint_matches(rng):
     """The resume path run() uses under PP: train plain, round-trip params
     AND Adam state through the checkpoint representation, stack, continue

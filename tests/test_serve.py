@@ -71,6 +71,7 @@ def _post(url, payload):
         return resp.status, json.loads(resp.read())
 
 
+@pytest.mark.slow
 def test_generation_server_end_to_end(gen_config):
     from qaig_tpu.infer.pipeline import CascadePipeline
     from qaig_tpu.serve import GenerationServer
@@ -154,6 +155,7 @@ def test_generation_server_end_to_end(gen_config):
         server.stop()
 
 
+@pytest.mark.slow
 def test_generation_server_sharded_mesh(gen_config):
     """--shard-batch semantics: pipeline on an 8-device data mesh; sharded
     output matches the unsharded pipeline token-for-token at the same seed,
@@ -229,6 +231,7 @@ def test_generation_server_tensor_parallel_mesh(gen_config):
         server.stop()
 
 
+@pytest.mark.slow
 def test_pipeline_row_keys_composition_invariance(gen_config):
     """Row-keyed generation end-to-end on real models: the rows of a
     request generated inside a merged batch equal its solo run bit-for-bit
@@ -286,9 +289,12 @@ def test_request_batcher_coalesces_concurrent_requests():
     for images, tokens in results:
         assert images.shape == (1, 3, 4, 4) and tokens.shape == (1, 2)
     # a per-request lock would make 8 sequential calls (1.2 s); coalescing
-    # needs at most 3 dispatches (first arrival + merged rest)
+    # needs at most 3 dispatches (first arrival + merged rest).  The
+    # dispatch count is the real coalescing proof; the wall-clock bound
+    # only guards against serialization and stays slack because thread
+    # scheduling under a loaded CI box adds hundreds of ms of jitter.
     assert len(calls) <= 3, calls
-    assert elapsed < 0.15 * 8 * 0.5, f"no >2x win: {elapsed:.2f}s, {calls}"
+    assert elapsed < 0.15 * 8, f"serialized: {elapsed:.2f}s, {calls}"
 
 
 def test_request_batcher_pads_to_multiple():

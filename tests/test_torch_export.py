@@ -150,6 +150,7 @@ def test_export_import_roundtrip_bitexact():
                                       np.asarray(got[k], np.float32), err_msg=k)
 
 
+@pytest.mark.slow
 def test_export_checkpoint_via_reference_loader(tmp_path, capsys):
     """Full-checkpoint export: reference ``load_model`` (torch.load) +
     ``custom_load_state_dict`` + ``Adam.load_state_dict`` all succeed."""

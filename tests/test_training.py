@@ -1,5 +1,6 @@
 """Training behavior: losses actually decrease; checkpoints resume."""
 
+import pytest
 import json
 
 import numpy as np
@@ -145,6 +146,7 @@ def test_autoencoder_resume_with_optimizer(tmp_path):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+@pytest.mark.slow
 def test_transformer_bf16_mixed_precision_trains():
     """--bf16 (mixed precision): the loss optimizes, master weights /
     gradients / Adam moments stay float32, and the first-step loss matches
@@ -257,6 +259,7 @@ def _transformer_fixtures(tmp_path):
             "cb_a": cb_a, "cb_b": cb_b, "cfg": str(cfg)}
 
 
+@pytest.mark.slow
 def test_transformer_ema_training_and_restore(tmp_path):
     """--ema-decay maintains a weight shadow: checkpoints carry model_ema,
     decay 0 tracks the live weights exactly, and
@@ -380,6 +383,7 @@ def test_autoencoder_auto_resume(tmp_path):
     assert max(diffs) > 0
 
 
+@pytest.mark.slow
 def test_transformer_auto_resume_with_ema(tmp_path):
     """--auto-resume on the transformer stage restores the EMA shadow too
     and continues step numbering from the newest checkpoint."""
@@ -501,6 +505,7 @@ def test_codebook_auto_resume_restores_optimizer(tmp_path):
     assert 5 in counts, counts
 
 
+@pytest.mark.slow
 def test_autoencoder_auto_resume_from_orbax(tmp_path):
     """--auto-resume discovers and restores .orbax checkpoint directories
     (sharded backend) including the optimizer state and step counter."""
@@ -595,6 +600,7 @@ def test_ema_decay_validation(tmp_path):
             "max_steps": 1, "skip_preview": True, "ema_decay": 1.5})
 
 
+@pytest.mark.slow
 def test_grad_clip_training(tmp_path):
     """--grad-clip: an inactive threshold (huge) reproduces the unclipped
     run (up to XLA refusion noise from the extra scale op); an active
