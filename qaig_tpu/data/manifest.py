@@ -19,9 +19,9 @@ class Manifest:
 
     TABLE = "_default"
 
-    def __init__(self, path):
+    def __init__(self, path, load=True):
         self.path = str(path)
-        if os.path.exists(self.path):
+        if load and os.path.exists(self.path):
             with open(self.path, "r") as f:
                 raw = json.load(f)
             table = raw.get(self.TABLE, {})
@@ -51,7 +51,9 @@ class Manifest:
 
 
 def write_manifest(path, rows):
-    m = Manifest(path if not os.path.exists(str(path)) else os.devnull)
+    """Write rows to path, replacing any existing manifest (load=False:
+    the old ``Manifest(os.devnull)`` dodge json-decoded /dev/null and
+    crashed the first time a manifest was ever overwritten)."""
+    m = Manifest(path, load=False)
     m.rows = list(rows)
-    m.path = str(path)
     return m.save()

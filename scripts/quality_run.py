@@ -171,6 +171,31 @@ def checkpoints(out_dir, prefix="model"):
                   key=lambda p: int(p.stem.split("_")[-1]))
 
 
+def _metrics_last_step(out_dir):
+    path = pathlib.Path(out_dir) / "metrics.jsonl"
+    if not path.exists():
+        return -1
+    lines = path.read_text().splitlines()
+    for line in reversed(lines):
+        try:
+            return int(json.loads(line).get("step", -1))
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return -1
+
+
+def stage_trained(out_dir, prefix, steps, every):
+    """A training stage counts as complete when its last scheduled
+    checkpoint exists AND its metrics stream reached the final step.
+    Everything downstream consumes only ``checkpoints(...)[-1]`` (the
+    trainers do not write an extra checkpoint at max_steps), so this is
+    exactly the state the pipeline needs — it makes ``--resume`` safe
+    after a kill at any point."""
+    final = ((steps - 1) // every) * every
+    ck = pathlib.Path(out_dir) / "models_checkpoint" / f"{prefix}_{final}.pt"
+    return ck.exists() and _metrics_last_step(out_dir) >= steps - 1
+
+
 def loss_curve(out_dir, key, every=50):
     """Downsampled per-step losses from a stage's metrics.jsonl."""
     path = pathlib.Path(out_dir) / "metrics.jsonl"
@@ -239,6 +264,13 @@ def main():
                              "+ the tf_*.json configs so downstream probes "
                              "like quality_bf16_ab.py can consume the run "
                              "without re-training the transformer stages)")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip stages whose training already completed "
+                             "in --out-dir (cheap file-based evals are "
+                             "recomputed); a partially-trained stage is "
+                             "wiped and retrained.  Lets a killed/stalled "
+                             "run continue instead of restarting from "
+                             "scratch.")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes + step counts: validates the "
                              "whole flow on CPU in minutes (the quality "
@@ -302,6 +334,19 @@ def main():
         print(f"[quality +{time.time() - t_start:7.1f}s] {msg}",
               flush=True)
 
+    def maybe_train(run_fn, run_args, stage_out, prefix, steps):
+        """Run a training stage unless --resume finds it already complete."""
+        if args.resume and stage_trained(stage_out, prefix, steps,
+                                         args.ckpt_every):
+            note(f"resume: {pathlib.Path(stage_out).name} already trained, "
+                 f"skipping")
+            return
+        if args.resume and pathlib.Path(stage_out).exists():
+            note(f"resume: {pathlib.Path(stage_out).name} incomplete, "
+                 f"retraining from scratch")
+            shutil.rmtree(stage_out)
+        run_fn(run_args)
+
     # -- dataset -------------------------------------------------------------
     manifest, paths = make_dataset(out, args.num_images + args.eval_images,
                                    args.seed, size=args.image_size)
@@ -331,11 +376,12 @@ def main():
         "use_final_enc_activation": True, "encoder_activation_type": "tanh",
         "use_final_dec_activation": True, "decoder_activation_type": "tanh"}))
     ae_out = out / "ae"
-    ae_stage.run(stage_args({
+    maybe_train(ae_stage.run, stage_args({
         "dataset_path": train_manifest, "config_path": ae_cfg,
         "out_dir": ae_out, "batch_size": args.ae_batch,
         "checkpoint_step": args.ckpt_every, "lr_step": 10 * args.ae_steps,
-        "max_epoch": 10 ** 9, "max_steps": args.ae_steps}))
+        "max_epoch": 10 ** 9, "max_steps": args.ae_steps}),
+        ae_out, "model", args.ae_steps)
 
     from qaig_tpu.utils import load_model
     traj = []
@@ -355,10 +401,17 @@ def main():
 
     # -- stage 2: feature maps -------------------------------------------------
     from qaig_tpu.train import fmap as fmap_stage
-    fmap_manifest = fmap_stage.run(stage_args({
-        "dataset_path": train_manifest, "model_path": ae_ckpt,
-        "out_dir": out / "fmaps", "batch_size": 64}))
-    note("feature maps cached")
+    fmap_done = out / "fmaps" / "all_dataset.json"
+    if args.resume and fmap_done.exists():
+        fmap_manifest = str(fmap_done)
+        note("resume: feature maps already cached, skipping")
+    else:
+        if args.resume and (out / "fmaps").exists():
+            shutil.rmtree(out / "fmaps")
+        fmap_manifest = fmap_stage.run(stage_args({
+            "dataset_path": train_manifest, "model_path": ae_ckpt,
+            "out_dir": out / "fmaps", "batch_size": 64}))
+        note("feature maps cached")
 
     # -- stage 3: codebooks ------------------------------------------------------
     from qaig_tpu.train import codebook as cb_stage
@@ -377,12 +430,13 @@ def main():
             # global steps -> fully annealed by ~(K//2)*nstep steps
             "neighbourhood_step": scale["nstep"]}))
         cb_out = out / f"cb_{name}"
-        cb_stage.run(stage_args({
+        maybe_train(cb_stage.run, stage_args({
             "dataset_path": fmap_manifest, "decoder_path": ae_ckpt,
             "config_path": cfg, "out_dir": cb_out,
             "batch_size": args.cb_batch, "checkpoint_step": args.ckpt_every,
             "lr_step": 10 * args.cb_steps, "max_epoch": 10 ** 9,
-            "max_steps": args.cb_steps}))
+            "max_steps": args.cb_steps}),
+            cb_out, "codebook", args.cb_steps)
         cb_ckpts[name] = checkpoints(cb_out, prefix="codebook")[-1]
         cb_traj[name] = []
         for ck in checkpoints(cb_out, prefix="codebook"):
@@ -409,13 +463,20 @@ def main():
             tokens_total = args.num_images * (hw // patch) ** 2
             threshold = max(1, tokens_total // (8 * K))
             prune_out = out / f"prune_{name}"
-            new_cb, new_cb_params = prune_stage.run(stage_args({
-                "dataset_path": fmap_manifest,
-                "codebook_path": cb_ckpts[name],
-                "out_dir": prune_out, "batch_size": args.cb_batch,
-                "prune_threshold": threshold}))
             pruned_ckpt = (prune_out / "models_checkpoint"
                            / "pruned_codebook.pt")
+            if args.resume and pruned_ckpt.exists():
+                _, pr_ck = load_model(str(pruned_ckpt))
+                new_cb, new_cb_params = common.codebook_from_checkpoint(pr_ck)
+                note(f"resume: prune {name} already done, skipping")
+            else:
+                if args.resume and prune_out.exists():
+                    shutil.rmtree(prune_out)
+                new_cb, new_cb_params = prune_stage.run(stage_args({
+                    "dataset_path": fmap_manifest,
+                    "codebook_path": cb_ckpts[name],
+                    "out_dir": prune_out, "batch_size": args.cb_batch,
+                    "prune_threshold": threshold}))
             psnr_before = cb_traj[name][-1]["psnr_quantized_db"]
             psnr_after = evaluator.psnr_quantized(
                 ae, ae_params, new_cb, new_cb_params)
@@ -445,12 +506,13 @@ def main():
             "num_embeddings": exp_K,
             "neighbourhood_step": scale["nstep"]}))
         exp_out = out / f"cb_{exp_name}_k{exp_K}"
-        cb_stage.run(stage_args({
+        maybe_train(cb_stage.run, stage_args({
             "dataset_path": fmap_manifest, "decoder_path": ae_ckpt,
             "config_path": cfg, "out_dir": exp_out,
             "batch_size": args.cb_batch, "checkpoint_step": args.ckpt_every,
             "lr_step": 10 * args.cb_steps, "max_epoch": 10 ** 9,
-            "max_steps": args.cb_steps}))
+            "max_steps": args.cb_steps}),
+            exp_out, "codebook", args.cb_steps)
         exp_traj = []
         for ck in checkpoints(exp_out, prefix="codebook"):
             _, cb_ck = load_model(str(ck))
@@ -526,7 +588,7 @@ def main():
             if args.final_stage_grad_clip > 0:
                 run_args["grad_clip"] = args.final_stage_grad_clip
                 stability["grad_clip"] = args.final_stage_grad_clip
-        tf_stage.run(run_args)
+        maybe_train(tf_stage.run, run_args, tf_out, "model", args.tf_steps)
         tf_ckpts[name] = checkpoints(tf_out)[-1]
         curve = loss_curve(tf_out, "ce_loss", every=args.ckpt_every // 2)
         note(f"transformer {name}: CE " + (
@@ -552,11 +614,17 @@ def main():
             "beam_width": bw, "num_beam": num_beam, "temperature": temp}
     gen_cfg.write_text(json.dumps(gen_dict))
     gen_out = out / "gen"
-    gen_stage.run(stage_args({
-        "decoder_path": ae_ckpt, "config_path": gen_cfg,
-        "out_dir": gen_out, "num_images": args.gen_images, "seed": 69}))
-    note("generation done")
     last_stage = len(tf_specs) - 1
+    final_grid = gen_out / "images" / f"recon_model_{last_stage}.jpg"
+    if args.resume and final_grid.exists():
+        note("resume: generation grid already present, skipping")
+    else:
+        if args.resume and gen_out.exists():
+            shutil.rmtree(gen_out)
+        gen_stage.run(stage_args({
+            "decoder_path": ae_ckpt, "config_path": gen_cfg,
+            "out_dir": gen_out, "num_images": args.gen_images, "seed": 69}))
+        note("generation done")
     report["stages"]["generation"] = {
         "num_images": args.gen_images,
         "grid": str(gen_out / "images" / f"recon_model_{last_stage}.jpg")}

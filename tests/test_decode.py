@@ -510,6 +510,7 @@ def test_flat_segment_supported_predicate():
     assert not flat_segment_supported(8, 4, 0)    # no block slots yet
 
 
+@pytest.mark.slow
 def test_flat_decode_engine_falls_back_on_unsupported_shapes(rng):
     """flat_decode=True engine on shapes the kernel does NOT support must
     route every segment through the XLA transposed path (bw=4 is not

@@ -112,6 +112,7 @@ def test_fused_cli_tokens_match_dispatched(tmp_path, capsys):
             assert (tmp_path / out / "images" / f"{grid}.jpg").exists()
 
 
+@pytest.mark.slow
 def test_fused_rejects_sharded_generation(tmp_path):
     """--fused with a non-trivial mesh (8 virtual devices shard a batch of
     4 over 'data') must fail fast, not silently unshard."""

@@ -25,6 +25,20 @@ def test_manifest_roundtrip(tmp_path):
     assert raw["_default"]["1"]["image_fpath"] == "/x/0.png"
 
 
+def test_manifest_overwrite(tmp_path):
+    """write_manifest onto an existing path must replace it cleanly
+    (regression: the old implementation json-decoded os.devnull and
+    crashed the first time any manifest was ever overwritten — hit by
+    quality_run --resume re-writing its dataset manifests)."""
+    path = tmp_path / "dataset.json"
+    write_manifest(path, [{"image_fpath": "/a.png", "labels": []}])
+    write_manifest(path, [{"image_fpath": f"/b{i}.png", "labels": []}
+                          for i in range(3)])
+    m = Manifest(path)
+    assert len(m) == 3
+    assert m[0]["image_fpath"] == "/b0.png"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     tree = {"a": {"b": jnp.arange(6).reshape(2, 3).astype(jnp.float32)},
             "meta": 7, "name": "x",

@@ -79,6 +79,22 @@ def test_quality_run_smoke(tmp_path):
     assert (grids / "generated_final.jpg").exists()
     assert (grids / "dataset_sample.png").exists()
 
+    # --resume on the finished run skips every training stage (file-based
+    # completion detection) and still writes an equivalent report — this
+    # is the kill-and-continue path quality_watchdog.py relies on
+    result = subprocess.run(
+        [sys.executable, "scripts/quality_run.py", "--smoke", "--resume",
+         "--out-dir", str(tmp_path), "--device", "cpu"],
+        capture_output=True, text=True, timeout=1800, cwd=str(REPO))
+    assert result.returncode == 0, (result.stdout[-2000:] +
+                                    result.stderr[-2000:])
+    assert result.stdout.count("resume:") >= 8  # every stage skipped
+    assert "retraining from scratch" not in result.stdout
+    resumed = json.loads((tmp_path / "quality.json").read_text())
+    assert resumed["stages"]["autoencoder"]["psnr_trajectory"] == \
+        stages["autoencoder"]["psnr_trajectory"]
+    assert set(resumed["stages"]) == set(stages)
+
     # the sampling sweep + renderer consume the finished run
     result = subprocess.run(
         [sys.executable, "scripts/sampling_sweep.py",
