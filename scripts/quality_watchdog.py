@@ -34,7 +34,7 @@ def run_once(cmd, log_path, stall_s, startup_s):
         child = subprocess.Popen(
             cmd, stdout=log, stderr=subprocess.STDOUT,
             start_new_session=True)  # own group: kill never touches us
-        last_size = -1
+        last_size = os.path.getsize(log_path)
         last_change = time.time()
         seen_output = False
         while True:
@@ -59,11 +59,18 @@ def main():
     parser.add_argument("--log", required=True,
                         help="file the child's output is appended to "
                              "(its mtime/size drives stall detection)")
-    parser.add_argument("--stall-seconds", type=int, default=600)
+    parser.add_argument("--stall-seconds", type=int, default=420,
+                        help="a wedged relay RPC never self-recovers "
+                             "(observed >20 min quiet), so fail fast")
     parser.add_argument("--startup-seconds", type=int, default=1200,
                         help="quiet budget before the first output line "
                              "(device claim + first remote compile)")
-    parser.add_argument("--max-restarts", type=int, default=5)
+    parser.add_argument("--restart-delay", type=int, default=300,
+                        help="wait before reconnecting: relaunching too "
+                             "soon after killing a wedged client wedges "
+                             "again at the first device RPC (observed); "
+                             "a multi-minute gap reconnects cleanly")
+    parser.add_argument("--max-restarts", type=int, default=10)
     parser.add_argument("--resume-flag", default="--resume",
                         help="appended to the command on every restart")
     parser.add_argument("cmd", nargs=argparse.REMAINDER,
@@ -94,7 +101,7 @@ def main():
             sys.exit(3)
         # the wedged client's upstream device claim takes a while to
         # release after SIGKILL; give it room before reconnecting
-        time.sleep(60)
+        time.sleep(args.restart_delay)
 
 
 if __name__ == "__main__":
