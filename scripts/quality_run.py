@@ -171,6 +171,37 @@ def checkpoints(out_dir, prefix="model"):
                   key=lambda p: int(p.stem.split("_")[-1]))
 
 
+class EvalCache:
+    """Persist per-checkpoint eval results (PSNR) as they land, so a
+    killed/stalled run resumed by the watchdog never re-pays device work
+    it already did — each attempt makes monotonic progress even when the
+    device channel is flaky."""
+
+    def __init__(self, path):
+        self.path = pathlib.Path(path)
+        try:
+            self.data = json.loads(self.path.read_text())
+        except (OSError, json.JSONDecodeError):
+            self.data = {}
+
+    def get(self, key):
+        return self.data.get(key)
+
+    def put(self, key, value):
+        self.data[key] = value
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.data))
+        tmp.replace(self.path)
+        return value
+
+    def drop_prefix(self, prefix):
+        stale = [k for k in self.data if k.startswith(prefix)]
+        for k in stale:
+            del self.data[k]
+        if stale:
+            self.put("_invalidated", prefix)  # also flushes the deletes
+
+
 def _metrics_last_step(out_dir):
     path = pathlib.Path(out_dir) / "metrics.jsonl"
     if not path.exists():
@@ -334,6 +365,8 @@ def main():
         print(f"[quality +{time.time() - t_start:7.1f}s] {msg}",
               flush=True)
 
+    evcache = EvalCache(out / "eval_cache.json")
+
     def maybe_train(run_fn, run_args, stage_out, prefix, steps):
         """Run a training stage unless --resume finds it already complete."""
         if args.resume and stage_trained(stage_out, prefix, steps,
@@ -345,6 +378,7 @@ def main():
             note(f"resume: {pathlib.Path(stage_out).name} incomplete, "
                  f"retraining from scratch")
             shutil.rmtree(stage_out)
+        evcache.drop_prefix(pathlib.Path(stage_out).name + "/")
         run_fn(run_args)
 
     # -- dataset -------------------------------------------------------------
@@ -386,11 +420,15 @@ def main():
     from qaig_tpu.utils import load_model
     traj = []
     for ck in checkpoints(ae_out):
-        _, ckpt = load_model(str(ck))
-        ae, ae_params, _ = common.autoencoder_from_checkpoint(ckpt)
+        key = f"ae/{ck.stem}"
+        val = evcache.get(key)
+        if val is None:
+            _, ckpt = load_model(str(ck))
+            ae, ae_params, _ = common.autoencoder_from_checkpoint(ckpt)
+            val = evcache.put(key, evaluator.psnr_recon(ae, ae_params))
         traj.append({"step": int(ck.stem.split("_")[-1]),
-                     "psnr_recon_db": evaluator.psnr_recon(ae, ae_params)})
-        note(f"AE ckpt {ck.name}: {traj[-1]['psnr_recon_db']} dB")
+                     "psnr_recon_db": val})
+        note(f"AE ckpt {ck.name}: {val} dB")
     ae_ckpt = checkpoints(ae_out)[-1]
     report["stages"]["autoencoder"] = {
         "steps": args.ae_steps, "batch": args.ae_batch,
@@ -440,12 +478,16 @@ def main():
         cb_ckpts[name] = checkpoints(cb_out, prefix="codebook")[-1]
         cb_traj[name] = []
         for ck in checkpoints(cb_out, prefix="codebook"):
-            _, cb_ck = load_model(str(ck))
-            cb, cb_params = common.codebook_from_checkpoint(cb_ck)
+            key = f"cb_{name}/{ck.stem}"
+            val = evcache.get(key)
+            if val is None:
+                _, cb_ck = load_model(str(ck))
+                cb, cb_params = common.codebook_from_checkpoint(cb_ck)
+                val = evcache.put(key, evaluator.psnr_quantized(
+                    ae, ae_params, cb, cb_params))
             cb_traj[name].append({
                 "step": int(ck.stem.split("_")[-1]),
-                "psnr_quantized_db": evaluator.psnr_quantized(
-                    ae, ae_params, cb, cb_params)})
+                "psnr_quantized_db": val})
         note(f"codebook {name}: " + " -> ".join(
             str(p["psnr_quantized_db"]) for p in cb_traj[name]))
         report["stages"][f"codebook_{name}"] = {
@@ -472,14 +514,18 @@ def main():
             else:
                 if args.resume and prune_out.exists():
                     shutil.rmtree(prune_out)
+                evcache.drop_prefix(f"prune_{name}/")
                 new_cb, new_cb_params = prune_stage.run(stage_args({
                     "dataset_path": fmap_manifest,
                     "codebook_path": cb_ckpts[name],
                     "out_dir": prune_out, "batch_size": args.cb_batch,
                     "prune_threshold": threshold}))
             psnr_before = cb_traj[name][-1]["psnr_quantized_db"]
-            psnr_after = evaluator.psnr_quantized(
-                ae, ae_params, new_cb, new_cb_params)
+            psnr_after = evcache.get(f"prune_{name}/after")
+            if psnr_after is None:
+                psnr_after = evcache.put(
+                    f"prune_{name}/after", evaluator.psnr_quantized(
+                        ae, ae_params, new_cb, new_cb_params))
             report["stages"][f"codebook_{name}"]["prune"] = {
                 "threshold": threshold,
                 "kept": new_cb.num_embeddings, "of": K,
@@ -515,12 +561,16 @@ def main():
             exp_out, "codebook", args.cb_steps)
         exp_traj = []
         for ck in checkpoints(exp_out, prefix="codebook"):
-            _, cb_ck = load_model(str(ck))
-            cb, cb_params = common.codebook_from_checkpoint(cb_ck)
+            key = f"cb_{exp_name}_k{exp_K}/{ck.stem}"
+            val = evcache.get(key)
+            if val is None:
+                _, cb_ck = load_model(str(ck))
+                cb, cb_params = common.codebook_from_checkpoint(cb_ck)
+                val = evcache.put(key, evaluator.psnr_quantized(
+                    ae, ae_params, cb, cb_params))
             exp_traj.append({
                 "step": int(ck.stem.split("_")[-1]),
-                "psnr_quantized_db": evaluator.psnr_quantized(
-                    ae, ae_params, cb, cb_params)})
+                "psnr_quantized_db": val})
         report.setdefault("experiments", {})[
             f"codebook_{exp_name}_k{exp_K}"] = {
             "patch": exp_patch, "num_embeddings": exp_K,
