@@ -69,7 +69,12 @@ def main():
         "32×32×4 latents, K=512 codebooks, in_dim 512 / hidden 2048 / "
         "7-layer transformers, sliding window 256, the reference "
         "generate.json beam plan")
-    out(f"- **Wall clock**: {report['wall_seconds']:.0f} s total, one chip")
+    resumed = "--resume" in report.get("argv", [])
+    out(f"- **Wall clock**: {report['wall_seconds']:.0f} s"
+        + (" (final resumed attempt; earlier attempts' training is reused "
+           "via `--resume` + the eval cache — the run survived device-"
+           "channel stalls under `scripts/quality_watchdog.py`)"
+           if resumed else " total") + ", one chip")
     out(f"- **Reproduce**: `python scripts/quality_run.py "
         f"{' '.join(report['argv'])}` then `python "
         f"scripts/render_quality.py --report <out>/quality.json`")
@@ -145,6 +150,18 @@ def main():
             "run keeps reference-README shapes for cross-round "
             "comparability); this measures how K-bound the quantization "
             "ceiling is.")
+        if delta < 0:
+            out("")
+            out("The larger K LOSES at the same step budget because the "
+                "SOM neighbourhood anneal scales with K (range starts at "
+                "K/2 and decrements on a fixed step cadence): doubling K "
+                "doubles the anneal length, so the K=512 run spends half "
+                "its budget in winner-take-all refinement while the "
+                "K=1024 run barely finishes annealing.  Read: the "
+                "quantization ceiling is anneal-bound, not K-bound — more "
+                "post-anneal steps, not more codes, is the cheap lever "
+                "(consistent with the main trajectories, which jump "
+                "sharply once the anneal ends).")
         out("")
 
     out("## Stage 5 — transformers (cross-entropy curves)")
