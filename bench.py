@@ -19,6 +19,7 @@ explicit "mode" so a fallback run can never masquerade as a beams run.
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -253,6 +254,16 @@ def main():
                         help="run the cascade in float32 (the product "
                              "default / reference numerics) instead of the "
                              "bfloat16 serving precision")
+    parser.add_argument("--compilation-cache-dir",
+                        default=os.environ.get("QAIG_BENCH_CACHE",
+                                               "/tmp/qaig_bench_cache"),
+                        help="persistent XLA compilation cache (default ON "
+                             "at a stable path: the bench is compile-"
+                             "dominated cold — ~5 min of programs vs ~1 min "
+                             "of measurement; set empty to disable).  "
+                             "Compile time never enters the measured "
+                             "iterations either way (warmup dispatch + "
+                             "block_until_ready precede every timer).")
     parser.add_argument("--device", choices=["auto", "cpu", "tpu", "cuda"],
                         type=str, default="auto",
                         help="pin the jax platform (cpu forces the host "
@@ -264,8 +275,10 @@ def main():
                              "channel reaches the TPU compiler even through "
                              "a remote-backend relay")
     args = parser.parse_args()
-    from qaig_tpu.train.common import select_platform
+    from qaig_tpu.train.common import select_platform, apply_compilation_cache
     select_platform(args.device, args.compiler_options)
+    apply_compilation_cache({"compilation_cache_dir":
+                             args.compilation_cache_dir})
 
     backend = jax.default_backend()
     if backend == "cpu" and args.scale == "full":
