@@ -290,6 +290,13 @@ def main():
                         help="train the transformer stages in bf16 "
                              "(mixed precision; AE/codebooks stay fp32)")
     parser.add_argument("--compilation-cache-dir", default=None)
+    parser.add_argument("--cb-patches", default=None,
+                        help="comma-separated subset of codebook names to "
+                             "train (e.g. 'p2'); default: all scales.  For "
+                             "focused codebook experiments with "
+                             "--stop-after codebooks (transformer stages "
+                             "need every codebook, so a full run ignores "
+                             "this unless all are listed)")
     parser.add_argument("--stop-after", choices=["codebooks"], default=None,
                         help="stop after the named stage (writes quality.json "
                              "+ the tf_*.json configs so downstream probes "
@@ -458,7 +465,18 @@ def main():
 
     cb_ckpts, cb_traj = {}, {}
     hw, K = scale["latent_hw"], scale["K"]
-    for name, patch in scale["cbs"]:
+    cbs = scale["cbs"]
+    if args.cb_patches:
+        wanted = set(args.cb_patches.split(","))
+        if args.stop_after != "codebooks" and not wanted.issuperset(
+                n for n, _ in cbs):
+            parser.error("--cb-patches subsets require --stop-after "
+                         "codebooks (transformers consume every codebook)")
+        cbs = [(n, p) for n, p in cbs if n in wanted]
+        if not cbs:
+            parser.error(f"--cb-patches {args.cb_patches!r} matches no "
+                         f"codebook at this scale")
+    for name, patch in cbs:
         cfg = out / f"cb_{name}.json"
         cfg.write_text(json.dumps({
             "model_lr": 1e-3, "image_H": hw, "image_W": hw,
